@@ -1,0 +1,20 @@
+"""PySpark-native language-ID + quality-filter + PII-scrub engine.
+
+A from-scratch, Spark-first re-expression of the semantics of
+amantaras/Language_identification (see SURVEY.md): per-chunk language
+classification with a confidence gate (reference
+``disconnected_language_detector.py:360-412``), label canonicalization
+(``:160-204``), gaps-and-islands merging (``:901-958``), per-label content
+transformation (``:559-894``), quality flagging (``:312``, ``:398-402``) and
+incremental, resumable output (``:1011-1037``) — re-materialized as a batch
+DataFrame pipeline over source-code tables per BASELINE.json:north_rule.
+
+Design rules:
+- DataFrame / Catalyst expressions for everything expressible (heuristics,
+  label normalization, verdicts, aggregation).
+- Vectorized Arrow pandas UDFs ONLY for model apply (langid, perplexity) and
+  regex scrub.  No per-row Python anywhere in the hot path.
+- Deterministic end-to-end: fixed-seed models, no wall-clock, no network.
+"""
+
+__version__ = "0.1.0"

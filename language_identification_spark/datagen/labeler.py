@@ -1,0 +1,127 @@
+"""Frozen single-process reference labeler — the F1 ground truth.
+
+An INDEPENDENT implementation of the decision spec in ``config.py``: plain
+Python string ops, scalar feature hashing (``hashing.*_scalar``), per-row
+``re`` scrubbing.  It shares only (a) the spec-as-data (thresholds, rule
+order, regex pattern list) and (b) the deterministic model weights from
+``models.registry`` — never the Spark pipeline's vectorized application code
+(SURVEY.md §5.2, §7.3: independent code paths or the F1 gate is circular).
+
+Mirrors the reference repo's golden-file practice
+(``/root/reference/fixed_module_segments.json``, ``test_transcript.json``):
+this labeler's output over the seed-42 corpus IS the golden expectation.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..config import DEFAULT_CONFIG, FilterConfig
+from ..functions.lang import canon_lang_scalar, primary_lang_scalar
+from ..hashing import char_trigram_buckets_row, word_bigram_buckets_row
+from ..models import langid as _langid
+from ..models import perplexity as _ppl
+from ..models.registry import get_models
+from ..scrub.patterns import PATTERNS
+
+
+def _softmax_conf(mean_ll: np.ndarray) -> float:
+    z = _langid.SOFTMAX_SCALE * mean_ll
+    z = z - z.max()
+    ez = np.exp(z)
+    return float(ez.max() / ez.sum())
+
+
+def label_row(content: str | None, declared_lang: str | None,
+              cfg: FilterConfig = DEFAULT_CONFIG) -> dict:
+    lid, lm = get_models()
+    content = content if content is not None else ""
+
+    # heuristics, scalar
+    if len(content.strip()) < cfg.min_chars:
+        return _verdict("too_short")
+    lines = content.split("\n")
+    if max(len(l) for l in lines) > cfg.max_line_len:
+        return _verdict("minified")
+    if re.search(cfg.generated_regex, content):
+        return _verdict("generated")
+    n_lines = len(lines)
+    if n_lines >= cfg.rep_min_lines and len(set(lines)) / n_lines < cfg.rep_distinct_ratio:
+        return _verdict("repetition")
+    n_chars = len(content)
+    alnum = sum(ch.isalnum() for ch in content)
+    if n_chars >= 64 and alnum / max(n_chars, 1) < cfg.min_alnum_ratio:
+        return _verdict("low_alnum")
+
+    # langid, scalar features + shared weights
+    buckets = char_trigram_buckets_row(content, _langid.N_BUCKETS)
+    if not len(buckets):
+        return _verdict("langid_low_confidence")
+    mean_ll = lid.logp[buckets].astype(np.float64).mean(axis=0)
+    idx = int(mean_ll.argmax())
+    detected = lid.langs[idx]
+    conf = _softmax_conf(mean_ll)
+    if conf < cfg.conf_tau or float(mean_ll[idx]) < cfg.ll_floor:
+        return _verdict("langid_low_confidence", detected, conf)
+    declared_primary = primary_lang_scalar(declared_lang)
+    if declared_primary and detected != declared_primary:
+        return _verdict("langid_mismatch", detected, conf)
+
+    # perplexity, scalar
+    wb = word_bigram_buckets_row(content, _ppl.N_BUCKETS)
+    ppl = (
+        -float(lm.logp[wb, idx].astype(np.float64).mean())
+        if len(wb)
+        else _ppl.NEUTRAL_SCORE
+    )
+    if ppl > cfg.ppl_tau:
+        return _verdict("perplexity", detected, conf, ppl)
+
+    # keep → scrub
+    scrubbed, n_sub = content, 0
+    for _name, pat, repl in PATTERNS:
+        scrubbed, k = re.subn(pat, repl, scrubbed)
+        n_sub += k
+    return {
+        "keep": True,
+        "drop_reason": None,
+        "detected_lang": detected,
+        "confidence": conf,
+        "ppl": ppl,
+        "scrubbed_content": scrubbed,
+        "n_redactions": n_sub,
+        "lang_canon": canon_lang_scalar(declared_lang),
+        "lang_primary": declared_primary,
+    }
+
+
+def _verdict(reason: str, detected: str = "", conf: float = 0.0,
+             ppl: float = 0.0) -> dict:
+    return {
+        "keep": False,
+        "drop_reason": reason,
+        "detected_lang": detected,
+        "confidence": conf,
+        "ppl": ppl,
+        "scrubbed_content": None,
+        "n_redactions": 0,
+        "lang_canon": None,
+        "lang_primary": None,
+    }
+
+
+def label_frame(src: pd.DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Label a (repo, path, commit, lang, content) frame row by row."""
+    records = []
+    for row in src.itertuples(index=False):
+        v = label_row(row.content, row.lang, cfg)
+        v["lang_canon"] = canon_lang_scalar(row.lang)
+        v["lang_primary"] = primary_lang_scalar(row.lang)
+        records.append(
+            {"repo": row.repo, "path": row.path, "commit": row.commit,
+             "lang": row.lang, **v}
+        )
+    return pd.DataFrame.from_records(records)

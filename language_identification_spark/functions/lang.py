@@ -1,0 +1,58 @@
+"""Label canonicalization / collapse as pure Catalyst expressions.
+
+Re-expresses the reference's ``canon_lang``
+(``/root/reference/disconnected_language_detector.py:160-180``) and
+``collapse_supported`` (``:183-204``) as whole-stage-codegen-friendly column
+expressions — no UDF (SURVEY.md §2.2 P2/P3).
+
+Spec (shared with the labeler's scalar versions):
+- ``canon``:   ``_`` → ``-``; primary subtag lowercased; region subtag
+  uppercased; extra subtags dropped; empty/null → "".
+- ``primary``: the lowercased primary subtag if it is in SUPPORTED_LANGS,
+  else "" (unknown → mismatch check skipped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..models.seed_corpora import SUPPORTED_LANGS
+
+
+def canon_lang_col(c: Column) -> Column:
+    parts = F.split(F.regexp_replace(F.trim(c), "_", "-"), "-")
+    # F.get (not getItem): NULL on missing subtag instead of an ANSI-mode error
+    primary = F.lower(F.get(parts, 0))
+    region = F.upper(F.get(parts, 1))
+    return F.when(c.isNull() | (F.trim(c) == ""), F.lit("")).otherwise(
+        F.when(region.isNotNull() & (region != ""), F.concat_ws("-", primary, region))
+        .otherwise(primary)
+    )
+
+
+def primary_lang_col(c: Column) -> Column:
+    primary = F.lower(F.get(F.split(F.regexp_replace(F.trim(c), "_", "-"), "-"), 0))
+    return F.when(primary.isin(*SUPPORTED_LANGS), primary).otherwise(F.lit(""))
+
+
+# scalar twins used by the independent labeler -----------------------------
+
+def canon_lang_scalar(s: str | None) -> str:
+    if s is None:
+        return ""
+    s = s.strip()
+    if not s:
+        return ""
+    parts = s.replace("_", "-").split("-")
+    primary = parts[0].lower()
+    if len(parts) > 1 and parts[1]:
+        return f"{primary}-{parts[1].upper()}"
+    return primary
+
+
+def primary_lang_scalar(s: str | None) -> str:
+    if s is None:
+        return ""
+    primary = s.strip().replace("_", "-").split("-")[0].lower()
+    return primary if primary in SUPPORTED_LANGS else ""

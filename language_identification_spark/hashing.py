@@ -1,0 +1,212 @@
+"""Deterministic feature hashing shared by every model stage.
+
+Spec (frozen — both the Spark pipeline and the independent reference labeler
+implement exactly this):
+
+- Text is lowercased, encoded UTF-8, truncated to the first ``SAMPLE_BYTES``
+  bytes.
+- Character features are byte trigrams hashed with FNV-1a 64-bit.
+- Word features are maximal runs of non-(ASCII-whitespace) bytes, each
+  clipped to its first ``WORD_BYTES`` bytes, with every ASCII digit mapped to
+  ``0`` (numerals carry no word-order signal and would otherwise make every
+  literal-bearing bigram unseen), and hashed with FNV-1a 64; a word
+  bigram combines the two word hashes as
+  ``((w1 * FNV_PRIME) ^ w2) * FNV_PRIME  (mod 2**64)``.
+- Bucket index = ``hash % n_buckets``.
+
+Two implementations live here: a fully vectorized numpy one (used inside
+Arrow pandas UDFs — the Spark hot path) and a plain-Python scalar one (used
+by the frozen reference labeler in ``datagen/labeler.py`` so the two code
+paths stay independent; see SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FNV_OFFSET = 0xCBF29CE484222325
+FNV_PRIME = 0x100000001B3
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+SAMPLE_BYTES = 4096  # langid/perplexity read at most this many bytes per row
+WORD_BYTES = 16  # each word token clipped to this many bytes before hashing
+
+
+# ---------------------------------------------------------------------------
+# scalar (reference-labeler side)
+# ---------------------------------------------------------------------------
+
+def fnv1a(data: bytes) -> int:
+    """Plain-Python FNV-1a 64 over a byte string."""
+    h = FNV_OFFSET
+    for b in data:
+        h = ((h ^ b) * FNV_PRIME) & MASK64
+    return h
+
+
+def char_trigram_buckets_scalar(text: str, n_buckets: int) -> list[int]:
+    b = text.lower().encode("utf-8")[:SAMPLE_BYTES]
+    return [fnv1a(b[i : i + 3]) % n_buckets for i in range(len(b) - 2)]
+
+
+def word_bigram_buckets_scalar(text: str, n_buckets: int) -> list[int]:
+    # bytes.split() splits on exactly the ASCII whitespace set the
+    # vectorized path masks: space \t \n \r \v \f
+    words = text.lower().encode("utf-8")[:SAMPLE_BYTES].split()
+    hashes = [fnv1a(w[:WORD_BYTES].translate(_DIGIT_FOLD)) for w in words]
+    out = []
+    for i in range(len(hashes) - 1):
+        h = ((hashes[i] * FNV_PRIME) & MASK64) ^ hashes[i + 1]
+        h = (h * FNV_PRIME) & MASK64
+        out.append(h % n_buckets)
+    return out
+
+
+# row-at-a-time numpy variants — used by the single-process labeler.  Still
+# independent of the batched implementations (no doc-boundary bookkeeping);
+# test_hashing.py pins all three implementations to each other.
+
+
+def char_trigram_buckets_row(text: str, n_buckets: int) -> np.ndarray:
+    b = np.frombuffer(text.lower().encode("utf-8")[:SAMPLE_BYTES], dtype=np.uint8)
+    if len(b) < 3:
+        return np.empty(0, dtype=np.int64)
+    h = _fnv1a_vec_bytes([b[:-2], b[1:-1], b[2:]])
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def word_bigram_buckets_row(text: str, n_buckets: int) -> np.ndarray:
+    words = text.lower().encode("utf-8")[:SAMPLE_BYTES].split()
+    if len(words) < 2:
+        return np.empty(0, dtype=np.int64)
+    n = len(words)
+    lens = np.minimum(np.fromiter((len(w) for w in words), np.int64, n), WORD_BYTES)
+    mat = np.zeros((n, WORD_BYTES), dtype=np.uint8)
+    packed = b"".join(w[:WORD_BYTES] for w in words)
+    flat = np.frombuffer(packed, dtype=np.uint8)
+    pos = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=pos[1:])
+    cols = np.arange(WORD_BYTES)
+    live = cols[None, :] < lens[:, None]
+    mat[live] = flat
+    mat = np.where((mat >= 48) & (mat <= 57), 48, mat)
+    with np.errstate(over="ignore"):
+        h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+        prime = np.uint64(FNV_PRIME)
+        for c in range(WORD_BYTES):
+            h = np.where(live[:, c], (h ^ mat[:, c].astype(np.uint64)) * prime, h)
+        bg = ((h[:-1] * prime) ^ h[1:]) * prime
+    return (bg % np.uint64(n_buckets)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# vectorized (Spark pandas-UDF side)
+# ---------------------------------------------------------------------------
+
+def _fnv1a_vec_bytes(cols: list[np.ndarray]) -> np.ndarray:
+    """Vectorized FNV-1a over fixed-width byte columns.
+
+    ``cols`` is a list of uint8 arrays, all the same length N; returns the
+    N hashes of the byte strings formed column-wise.
+    """
+    with np.errstate(over="ignore"):
+        h = np.full(cols[0].shape, FNV_OFFSET, dtype=np.uint64)
+        prime = np.uint64(FNV_PRIME)
+        for c in cols:
+            h = (h ^ c.astype(np.uint64)) * prime
+    return h
+
+
+def concat_docs(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate truncated docs into one uint8 buffer.
+
+    Returns ``(buf, offsets)`` where ``offsets`` has len(texts)+1 entries and
+    doc i spans ``buf[offsets[i]:offsets[i+1]]``.
+    """
+    clipped = [t[:SAMPLE_BYTES] for t in texts]
+    offsets = np.zeros(len(clipped) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in clipped], out=offsets[1:])
+    buf = np.frombuffer(b"".join(clipped), dtype=np.uint8)
+    return buf, offsets
+
+
+def char_trigram_hashes_batch(
+    texts: list[bytes], n_buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All byte-trigram bucket ids for a batch of docs in one numpy pass.
+
+    Returns ``(buckets, doc_ids)`` — parallel 1-D arrays, one entry per
+    trigram, trigrams never crossing doc boundaries.  Matches
+    ``char_trigram_buckets_scalar`` exactly per doc.
+    """
+    buf, offsets = concat_docs(texts)
+    n = len(buf)
+    if n < 3:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    starts = np.arange(n - 2, dtype=np.int64)
+    # doc of each start position; a trigram is valid iff it ends in the same doc
+    doc_ids = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + 3 <= offsets[doc_ids + 1]
+    starts = starts[valid]
+    doc_ids = doc_ids[valid]
+    h = _fnv1a_vec_bytes([buf[starts], buf[starts + 1], buf[starts + 2]])
+    return (h % np.uint64(n_buckets)).astype(np.int64), doc_ids
+
+
+_WS_BYTES = (32, 9, 10, 13, 11, 12)  # same set bytes.split() uses
+
+# ASCII digits 1-9 → '0' (digit folding for word features)
+_DIGIT_FOLD = bytes(48 if 48 <= b <= 57 else b for b in range(256))
+
+
+def word_bigram_hashes_batch(
+    texts: list[bytes], n_buckets: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All word-bigram bucket ids for a batch of docs — zero per-row Python.
+
+    Word boundaries are found with a whitespace mask over the concatenated
+    buffer; word bytes are gathered into a (n_words, WORD_BYTES) matrix with
+    fancy indexing; FNV runs column-wise (WORD_BYTES vector ops total).
+    Matches ``word_bigram_buckets_scalar`` exactly per doc.
+    """
+    buf, offsets = concat_docs(texts)
+    n = len(buf)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    is_ws = np.zeros(n, dtype=bool)
+    for w in _WS_BYTES:
+        is_ws |= buf == w
+    # positions where a word starts / ends; doc boundaries also break words
+    boundary = np.zeros(n + 1, dtype=bool)
+    boundary[offsets] = True
+    prev_ws = np.empty(n, dtype=bool)
+    prev_ws[0] = True
+    prev_ws[1:] = is_ws[:-1]
+    starts = np.flatnonzero(~is_ws & (prev_ws | boundary[:n]))
+    next_ws = np.empty(n, dtype=bool)
+    next_ws[-1] = True
+    next_ws[:-1] = is_ws[1:]
+    ends = np.flatnonzero(~is_ws & (next_ws | boundary[1 : n + 1])) + 1
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    lens = np.minimum(ends - starts, WORD_BYTES)
+    idx = starts[:, None] + np.arange(WORD_BYTES, dtype=np.int64)[None, :]
+    live = idx < (starts + lens)[:, None]
+    gathered = buf[np.minimum(idx, n - 1)]
+    gathered = np.where((gathered >= 48) & (gathered <= 57), 48, gathered).astype(
+        np.uint64
+    )
+    with np.errstate(over="ignore"):
+        h = np.full(len(starts), FNV_OFFSET, dtype=np.uint64)
+        prime = np.uint64(FNV_PRIME)
+        for c in range(WORD_BYTES):
+            h = np.where(live[:, c], (h ^ gathered[:, c]) * prime, h)
+    word_doc = np.searchsorted(offsets, starts, side="right") - 1
+    # consecutive word pairs within the same doc
+    same_doc = word_doc[:-1] == word_doc[1:]
+    w1 = h[:-1][same_doc]
+    w2 = h[1:][same_doc]
+    doc_ids = word_doc[:-1][same_doc]
+    with np.errstate(over="ignore"):
+        bg = ((w1 * prime) ^ w2) * prime
+    return (bg % np.uint64(n_buckets)).astype(np.int64), doc_ids

@@ -1,0 +1,86 @@
+"""fastText-style hashed char-n-gram linear language classifier (from scratch).
+
+Re-materializes the reference's candidate-set language classification with a
+confidence gate (``/root/reference/disconnected_language_detector.py:360-412``;
+candidate set ``:310,:330-332``; validity gate ``:371-372``) as a vectorized
+batch classifier suitable for Arrow pandas UDFs.
+
+Model: multinomial log-linear over FNV-hashed byte trigrams.  Per-language
+bucket frequencies are Laplace-smoothed on the *frequency* scale so that a
+bucket unseen in every language contributes an identical log-prob to every
+class (class-neutral) regardless of per-language training-corpus size.
+
+confidence = softmax(SOFTMAX_SCALE * mean_loglik_per_trigram); near-uniform
+char soup gives near-uniform mean log-likelihoods → low confidence → the
+``langid_low_confidence`` drop (reference analog: non-recognized reason gate
+``:371`` and zero-duration drop ``:392``).
+
+Training is deterministic (seeded clean corpus from ``datagen.corpus``), runs
+in milliseconds, and happens lazily once per process — on Spark executors
+this is the "model broadcast" analog: a module-level singleton built on first
+UDF call (SURVEY.md §2.3 C1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..hashing import char_trigram_hashes_batch
+from .seed_corpora import SUPPORTED_LANGS
+
+N_BUCKETS = 1 << 15
+ALPHA = 1e-5  # Laplace smoothing on the frequency scale
+SOFTMAX_SCALE = 12.0  # sharpness of mean-loglik → confidence
+
+
+@dataclass(frozen=True)
+class LangIdModel:
+    langs: tuple[str, ...]
+    logp: np.ndarray  # (N_BUCKETS, L) float32 — log P(bucket | lang)
+
+    def predict_batch(
+        self, texts: list[bytes]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Classify a batch of lowercased UTF-8 byte strings.
+
+        Returns ``(label_idx:int32, confidence:float64, mean_ll:float64)``,
+        one entry per input.  Rows with no trigrams get label -1, conf 0,
+        mean_ll -inf's stand-in (-100.0).
+        """
+        n = len(texts)
+        L = len(self.langs)
+        buckets, doc_ids = char_trigram_hashes_batch(texts, N_BUCKETS)
+        scores = np.zeros((n, L), dtype=np.float64)
+        counts = np.zeros(n, dtype=np.int64)
+        if len(buckets):
+            np.add.at(scores, doc_ids, self.logp[buckets])
+            np.add.at(counts, doc_ids, 1)
+        has = counts > 0
+        mean_ll_mat = np.full((n, L), -100.0)
+        mean_ll_mat[has] = scores[has] / counts[has, None]
+        label = np.where(has, mean_ll_mat.argmax(axis=1), -1).astype(np.int32)
+        # stable softmax over scaled mean log-likelihoods
+        z = SOFTMAX_SCALE * mean_ll_mat
+        z -= z.max(axis=1, keepdims=True)
+        ez = np.exp(z)
+        conf = ez.max(axis=1) / ez.sum(axis=1)
+        conf = np.where(has, conf, 0.0)
+        best_ll = np.where(has, mean_ll_mat.max(axis=1), -100.0)
+        return label, conf, best_ll
+
+
+def train(corpus: dict[str, list[str]]) -> LangIdModel:
+    """Train from a per-language list of clean documents (deterministic)."""
+    langs = tuple(l for l in SUPPORTED_LANGS if l in corpus)
+    logp = np.zeros((N_BUCKETS, len(langs)), dtype=np.float32)
+    for j, lang in enumerate(langs):
+        texts = [t.lower().encode("utf-8") for t in corpus[lang]]
+        buckets, _ = char_trigram_hashes_batch(texts, N_BUCKETS)
+        counts = np.bincount(buckets, minlength=N_BUCKETS).astype(np.float64)
+        total = counts.sum()
+        freq = counts / total if total > 0 else counts
+        p = (freq + ALPHA) / (1.0 + ALPHA * N_BUCKETS)
+        logp[:, j] = np.log(p).astype(np.float32)
+    return LangIdModel(langs=langs, logp=logp)

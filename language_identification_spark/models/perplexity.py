@@ -1,0 +1,75 @@
+"""KenLM-style hashed word-bigram perplexity scorer (from scratch, numpy).
+
+The reference repo lists "confidence gating / smoothing" as an unimplemented
+roadmap item (``/root/reference/README.md:321``); per BASELINE.json the target
+implements it as a batched character/word n-gram hashed LM.  Here: a
+per-language word-bigram LM over FNV-hashed token pairs, trained on the
+synthetic clean corpus (SURVEY.md §7.2 step 5).  Score is the negative mean
+log-probability per bigram — shuffled-token text ("wrong-order n-grams",
+FIXTURES.md F1) lands on unseen bigram buckets and scores high.
+
+Smoothing is on the frequency scale (same rationale as ``langid``): an
+unseen bucket scores ``log(ALPHA / (1 + ALPHA*N_BUCKETS))`` in every
+language, so scores are comparable across languages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..hashing import word_bigram_hashes_batch
+from .seed_corpora import SUPPORTED_LANGS
+
+N_BUCKETS = 1 << 16
+ALPHA = 1e-6
+
+# score assigned to docs with < 2 words: neutral (cannot judge word order)
+NEUTRAL_SCORE = 0.0
+
+
+@dataclass(frozen=True)
+class BigramLM:
+    langs: tuple[str, ...]
+    logp: np.ndarray  # (N_BUCKETS, L) float32
+
+    def score_batch(self, texts: list[bytes], lang_idx: np.ndarray) -> np.ndarray:
+        """Negative mean log-prob per word bigram, per doc.
+
+        ``lang_idx`` selects which language's LM scores each doc (use the
+        langid-detected label); docs with lang_idx < 0 are scored with their
+        best (minimum) language so they are not spuriously penalized.
+        """
+        n = len(texts)
+        L = len(self.langs)
+        buckets, doc_ids = word_bigram_hashes_batch(texts, N_BUCKETS)
+        sums = np.zeros((n, L), dtype=np.float64)
+        counts = np.zeros(n, dtype=np.int64)
+        if len(buckets):
+            np.add.at(sums, doc_ids, self.logp[buckets])
+            np.add.at(counts, doc_ids, 1)
+        has = counts > 0
+        mean_ll = np.zeros((n, L), dtype=np.float64)
+        mean_ll[has] = sums[has] / counts[has, None]
+        idx = np.asarray(lang_idx, dtype=np.int64)
+        picked = np.where(
+            idx >= 0,
+            mean_ll[np.arange(n), np.clip(idx, 0, L - 1)],
+            mean_ll.max(axis=1),
+        )
+        return np.where(has, -picked, NEUTRAL_SCORE)
+
+
+def train(corpus: dict[str, list[str]]) -> BigramLM:
+    langs = tuple(l for l in SUPPORTED_LANGS if l in corpus)
+    logp = np.zeros((N_BUCKETS, len(langs)), dtype=np.float32)
+    for j, lang in enumerate(langs):
+        texts = [t.lower().encode("utf-8") for t in corpus[lang]]
+        buckets, _ = word_bigram_hashes_batch(texts, N_BUCKETS)
+        counts = np.bincount(buckets, minlength=N_BUCKETS).astype(np.float64)
+        total = counts.sum()
+        freq = counts / total if total > 0 else counts
+        p = (freq + ALPHA) / (1.0 + ALPHA * N_BUCKETS)
+        logp[:, j] = np.log(p).astype(np.float32)
+    return BigramLM(langs=langs, logp=logp)

@@ -1,0 +1,24 @@
+"""Lazy per-process model singleton — the "broadcast" analog.
+
+The reference ships its models inside containers started once per host
+(``/root/reference/scripts/run-containers.ps1:35-45``); here the models are
+deterministic functions of the seed corpus, so instead of shipping weight
+files we rebuild them once per Python worker process on first use (a few ms)
+and cache at module level.  Every Spark executor worker and the single-process
+labeler therefore see byte-identical weights.
+"""
+
+from __future__ import annotations
+
+from ..datagen.corpus import training_corpus
+from . import langid, perplexity
+
+_CACHE: dict[str, object] = {}
+
+
+def get_models() -> tuple["langid.LangIdModel", "perplexity.BigramLM"]:
+    if "langid" not in _CACHE:
+        corpus = training_corpus()
+        _CACHE["langid"] = langid.train(corpus)
+        _CACHE["ppl"] = perplexity.train(corpus)
+    return _CACHE["langid"], _CACHE["ppl"]  # type: ignore[return-value]

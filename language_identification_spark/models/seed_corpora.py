@@ -1,0 +1,128 @@
+"""Deterministic per-language sentence pools.
+
+These are the only "training data" in the system: the langid classifier and
+the perplexity LM are trained on synthetic clean files whose comments and
+strings are drawn from these pools (see ``datagen/corpus.py``).  The pools
+are ordinary public-domain-style sentences about software, written for this
+project — no external corpus is downloaded (SURVEY.md §7.3 "No network").
+
+The first half of each pool (``train_split``) is used for model training;
+generation draws from the whole pool, so half the generated sentences are
+held out from the models.
+"""
+
+from __future__ import annotations
+
+SUPPORTED_LANGS = ("en", "ar", "es", "zh")
+
+POOLS: dict[str, list[str]] = {
+    "en": [
+        "this function reads the configuration file and returns a dictionary of settings",
+        "the parser walks the syntax tree and collects every identifier it finds",
+        "we cache the result because the computation is expensive and purely deterministic",
+        "if the buffer is empty the reader blocks until new data arrives from the socket",
+        "each worker processes one partition and writes its output to a separate file",
+        "the scheduler retries failed tasks up to three times before giving up",
+        "all timestamps are stored in utc to avoid daylight saving ambiguities",
+        "the hash table doubles its capacity when the load factor exceeds the threshold",
+        "note that this method is not thread safe and must be called under the lock",
+        "the client sends a heartbeat every five seconds to keep the connection alive",
+        "invalid rows are logged and skipped instead of aborting the whole batch",
+        "this module implements a simple state machine for the handshake protocol",
+        "memory usage grows linearly with the number of open file descriptors",
+        "the default timeout is thirty seconds and can be overridden in the settings",
+        "results are sorted by key before being merged into the final output table",
+        "the index is rebuilt from scratch whenever the schema version changes",
+        "a small least recently used cache keeps the hottest entries in memory",
+        "errors from the remote service are wrapped with additional context",
+        "the queue drains in order so downstream consumers see a consistent stream",
+        "compression is applied only when the payload exceeds one kilobyte",
+        "the migration script is idempotent and safe to run multiple times",
+        "unit tests cover the boundary cases around empty input and very long lines",
+        "the logger writes both to the console and to a rotating file handler",
+        "every request carries a correlation id so traces can be stitched together",
+    ],
+    "es": [
+        "esta función lee el archivo de configuración y devuelve un diccionario de ajustes",
+        "el analizador recorre el árbol de sintaxis y recoge todos los identificadores que encuentra",
+        "guardamos el resultado en caché porque el cálculo es costoso y completamente determinista",
+        "si el búfer está vacío el lector espera hasta que lleguen datos nuevos del socket",
+        "cada proceso trabaja sobre una partición y escribe su salida en un archivo separado",
+        "el planificador reintenta las tareas fallidas hasta tres veces antes de rendirse",
+        "todas las marcas de tiempo se guardan en utc para evitar ambigüedades de horario",
+        "la tabla hash duplica su capacidad cuando el factor de carga supera el umbral",
+        "tenga en cuenta que este método no es seguro entre hilos y debe llamarse bajo el candado",
+        "el cliente envía un latido cada cinco segundos para mantener viva la conexión",
+        "las filas inválidas se registran y se omiten en lugar de abortar todo el lote",
+        "este módulo implementa una máquina de estados sencilla para el protocolo de saludo",
+        "el uso de memoria crece de forma lineal con el número de descriptores abiertos",
+        "el tiempo de espera predeterminado es de treinta segundos y puede cambiarse en los ajustes",
+        "los resultados se ordenan por clave antes de fusionarse en la tabla final de salida",
+        "el índice se reconstruye desde cero cada vez que cambia la versión del esquema",
+        "una pequeña caché de uso reciente mantiene en memoria las entradas más calientes",
+        "los errores del servicio remoto se envuelven con contexto adicional",
+        "la cola se vacía en orden para que los consumidores vean un flujo consistente",
+        "la compresión se aplica solo cuando la carga útil supera un kilobyte",
+        "el guion de migración es idempotente y puede ejecutarse varias veces sin riesgo",
+        "las pruebas unitarias cubren los casos límite de entrada vacía y líneas muy largas",
+        "el registrador escribe tanto en la consola como en un archivo rotatorio",
+        "cada petición lleva un identificador de correlación para unir las trazas",
+    ],
+    "ar": [
+        "تقرأ هذه الدالة ملف الإعدادات وتعيد قاموسا يحتوي على القيم",
+        "يمر المحلل على شجرة التركيب ويجمع كل المعرفات التي يجدها",
+        "نخزن النتيجة في الذاكرة المؤقتة لأن الحساب مكلف وحتمي تماما",
+        "إذا كان المخزن فارغا ينتظر القارئ حتى تصل بيانات جديدة من المقبس",
+        "يعالج كل عامل قسما واحدا ويكتب ناتجه في ملف منفصل",
+        "يعيد المجدول محاولة المهام الفاشلة حتى ثلاث مرات قبل الاستسلام",
+        "تخزن جميع الطوابع الزمنية بالتوقيت العالمي لتجنب الالتباس",
+        "يضاعف جدول التجزئة سعته عندما يتجاوز عامل الحمل الحد المقرر",
+        "لاحظ أن هذه الطريقة ليست آمنة بين الخيوط ويجب استدعاؤها تحت القفل",
+        "يرسل العميل نبضة كل خمس ثوان للحفاظ على الاتصال حيا",
+        "تسجل الصفوف غير الصالحة وتتجاوز بدلا من إيقاف الدفعة كاملة",
+        "تنفذ هذه الوحدة آلة حالات بسيطة لبروتوكول المصافحة",
+        "ينمو استهلاك الذاكرة خطيا مع عدد الملفات المفتوحة",
+        "المهلة الافتراضية ثلاثون ثانية ويمكن تغييرها في الإعدادات",
+        "ترتب النتائج حسب المفتاح قبل دمجها في جدول الإخراج النهائي",
+        "يعاد بناء الفهرس من الصفر كلما تغيرت نسخة المخطط",
+        "تحتفظ ذاكرة مؤقتة صغيرة بأكثر العناصر استخداما حديثا",
+        "تغلف أخطاء الخدمة البعيدة بسياق إضافي قبل رفعها",
+        "يفرغ الطابور بالترتيب ليرى المستهلكون تدفقا متسقا",
+        "يطبق الضغط فقط عندما يتجاوز حجم الحمولة كيلوبايت واحدا",
+        "نص الترحيل حتمي ويمكن تشغيله عدة مرات بأمان",
+        "تغطي الاختبارات حالات الحدود حول الإدخال الفارغ والأسطر الطويلة",
+        "يكتب المسجل إلى الشاشة وإلى ملف دوار في آن واحد",
+        "يحمل كل طلب معرف ارتباط لربط الآثار ببعضها",
+    ],
+    "zh": [
+        "这个函数读取配置文件并返回一个包含所有设置的字典",
+        "解析器遍历语法树并收集它找到的每一个标识符",
+        "我们缓存这个结果因为计算代价很高而且完全是确定性的",
+        "如果缓冲区为空读取器会阻塞直到套接字送来新的数据",
+        "每个工作进程处理一个分区并把输出写到单独的文件里",
+        "调度器会把失败的任务最多重试三次然后才放弃",
+        "所有时间戳都以世界标准时间存储以避免夏令时的歧义",
+        "当负载因子超过阈值时哈希表会把容量扩大一倍",
+        "注意这个方法不是线程安全的必须在持有锁时调用",
+        "客户端每五秒发送一次心跳以保持连接活跃",
+        "无效的行会被记录并跳过而不是中止整个批次",
+        "这个模块为握手协议实现了一个简单的状态机",
+        "内存使用量随打开文件描述符的数量线性增长",
+        "默认超时是三十秒可以在设置中覆盖",
+        "结果先按键排序然后合并到最终的输出表中",
+        "每当模式版本变化时索引都会从头重建",
+        "一个小的最近使用缓存把最热的条目留在内存里",
+        "来自远程服务的错误会附加上下文之后再抛出",
+        "队列按顺序排空因此下游消费者看到一致的流",
+        "只有当负载超过一千字节时才会启用压缩",
+        "迁移脚本是幂等的可以安全地运行多次",
+        "单元测试覆盖了空输入和超长行这些边界情况",
+        "日志记录器同时写到控制台和一个轮转的文件",
+        "每个请求都带有关联标识以便把调用链串起来",
+    ],
+}
+
+
+def train_split(lang: str) -> list[str]:
+    pool = POOLS[lang]
+    return pool[: len(pool) // 2]

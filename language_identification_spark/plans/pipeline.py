@@ -1,0 +1,153 @@
+"""The flagship plan: keep/drop + scrub over a source-code table.
+
+Single-pass Catalyst plan (contrast with the reference's thread-per-stage
+push pipeline, ``/root/reference/disconnected_language_detector.py:961-1240``;
+lifecycle mapping in SURVEY.md §3.4):
+
+1. pure expressions: lang canon/collapse, heuristic features, cheap verdict
+   (whole-stage codegen; Catalyst pushes column pruning into the scan)
+2. ONE Arrow pandas UDF for langid + perplexity, masked so rows already
+   dropped by cheap rules skip model work entirely (early-filter craft rule,
+   SURVEY.md §4.1) — content crosses the JVM↔Python boundary once
+3. pure-expression verdict assembly (single F.when tree, config.py order)
+4. ONE Arrow pandas UDF for the regex scrub, masked to kept rows only
+5. final projection incl. sha256 invariants (built-in ``F.sha2`` — no UDF)
+
+Scale notes (100 TB / 1000 executors): no shuffle anywhere in this plan —
+it is embarrassingly parallel per input split; partition sizing and skew
+salting happen in the checkpointed runner (``checkpoint.py``), not here.
+Arrow batch size is capped via ``spark.sql.execution.arrow.maxRecordsPerBatch``
+(set in ``session.py``) so wide ``content`` values don't blow worker memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import DEFAULT_CONFIG, FilterConfig
+from ..functions.heuristics import cheap_drop_reason, with_heuristics
+from ..functions.lang import canon_lang_col, primary_lang_col
+
+# explicit StructTypes (not DDL strings) so the UDFs can be defined at import
+# time without an active SparkContext
+_ANALYZE_SCHEMA = StructType(
+    [
+        StructField("detected_lang", StringType()),
+        StructField("confidence", DoubleType()),
+        StructField("mean_ll", DoubleType()),
+        StructField("ppl", DoubleType()),
+    ]
+)
+_SCRUB_SCHEMA = StructType(
+    [StructField("text", StringType()), StructField("n_sub", LongType())]
+)
+
+
+def _analyze_batch(content: pd.Series, active: pd.Series) -> pd.DataFrame:
+    """langid + perplexity for one Arrow batch (runs on executors)."""
+    from ..models.registry import get_models
+
+    lid, lm = get_models()
+    n = len(content)
+    out = pd.DataFrame(
+        {
+            "detected_lang": [""] * n,
+            "confidence": np.zeros(n),
+            "mean_ll": np.full(n, -100.0),
+            "ppl": np.zeros(n),
+        },
+        index=content.index,
+    )
+    mask = active.fillna(False).to_numpy(dtype=bool) & content.notna().to_numpy()
+    if not mask.any():
+        return out
+    texts = [t.lower().encode("utf-8") for t in content[mask]]
+    label_idx, conf, mean_ll = lid.predict_batch(texts)
+    ppl = lm.score_batch(texts, label_idx)
+    labels = np.array([""] + list(lid.langs))[label_idx + 1]
+    out.loc[mask, "detected_lang"] = labels
+    out.loc[mask, "confidence"] = conf
+    out.loc[mask, "mean_ll"] = mean_ll
+    out.loc[mask, "ppl"] = ppl
+    return out
+
+
+def _scrub_batch(content: pd.Series, keep: pd.Series) -> pd.DataFrame:
+    from ..scrub.scrubber import scrub_series
+
+    scrubbed, n_sub = scrub_series(content, keep)
+    return pd.DataFrame({"text": scrubbed, "n_sub": n_sub}, index=content.index)
+
+
+analyze_udf = pandas_udf(_analyze_batch, _ANALYZE_SCHEMA)
+scrub_udf = pandas_udf(_scrub_batch, _SCRUB_SCHEMA)
+
+
+def quality_filter(df: DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(repo, path, commit, lang, content) → verdict + scrubbed output.
+
+    Output schema: repo, path, commit, lang, lang_canon, lang_primary,
+    detected_lang, confidence, ppl, keep:boolean, drop_reason:string,
+    n_redactions:long, scrubbed_content:string (NULL when dropped),
+    content_sha256, scrubbed_sha256.
+    """
+    df = (
+        df.withColumn("lang_canon", canon_lang_col(F.col("lang")))
+        .withColumn("lang_primary", primary_lang_col(F.col("lang")))
+    )
+    df = with_heuristics(df)
+    df = df.withColumn("cheap_reason", cheap_drop_reason(cfg))
+    df = df.withColumn(
+        "nlp", analyze_udf(F.col("content"), F.col("cheap_reason").isNull())
+    )
+    reason = F.coalesce(
+        F.col("cheap_reason"),
+        F.when(
+            (F.col("nlp.confidence") < F.lit(cfg.conf_tau))
+            | (F.col("nlp.mean_ll") < F.lit(cfg.ll_floor)),
+            "langid_low_confidence",
+        ),
+        F.when(
+            (F.col("lang_primary") != "")
+            & (F.col("nlp.detected_lang") != F.col("lang_primary")),
+            "langid_mismatch",
+        ),
+        F.when(F.col("nlp.ppl") > F.lit(cfg.ppl_tau), "perplexity"),
+    )
+    df = df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+    df = df.withColumn("sc", scrub_udf(F.col("content"), F.col("keep")))
+    return df.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "lang_canon",
+        "lang_primary",
+        F.col("nlp.detected_lang").alias("detected_lang"),
+        F.round(F.col("nlp.confidence"), 6).alias("confidence"),
+        F.round(F.col("nlp.ppl"), 6).alias("ppl"),
+        "keep",
+        "drop_reason",
+        F.when(F.col("keep"), F.col("sc.n_sub")).otherwise(F.lit(0)).alias(
+            "n_redactions"
+        ),
+        F.when(F.col("keep"), F.col("sc.text")).alias("scrubbed_content"),
+        F.sha2(F.encode(F.col("content"), "UTF-8"), 256).alias("content_sha256"),
+        F.when(
+            F.col("keep"),
+            F.sha2(F.encode(F.col("sc.text"), "UTF-8"), 256),
+        ).alias("scrubbed_sha256"),
+    )

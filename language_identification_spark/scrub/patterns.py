@@ -1,0 +1,57 @@
+"""Ordered PII/secret scrub patterns — the frozen spec shared as DATA.
+
+Both the Spark scrub stage (``scrub/scrubber.py``, pandas-vectorized) and the
+independent labeler (``datagen/labeler.py``, plain ``re``) apply exactly this
+list in exactly this order.  Order matters: PEM blocks are removed first so
+their base64 body can't partially match later patterns.
+
+Reference analog: the per-segment content transformation keyed by detected
+label (``/root/reference/disconnected_language_detector.py:559-894``) — here
+the transform is redaction rather than transcription.  Replacement tokens
+never re-match any pattern, so the scrub is idempotent
+(``scrub(scrub(x)) == scrub(x)``, FIXTURES.md F3).
+"""
+
+from __future__ import annotations
+
+import re
+
+# (name, pattern, replacement) — applied in order with re.MULTILINE
+PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----[\s\S]*?-----END [A-Z ]*PRIVATE KEY-----",
+        "[REDACTED_PRIVATE_KEY]",
+    ),
+    (
+        "aws_key",
+        r"\bAKIA[0-9A-Z]{16}\b",
+        "[REDACTED_AWS_KEY]",
+    ),
+    (
+        "email",
+        r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b",
+        "[REDACTED_EMAIL]",
+    ),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+        "[REDACTED_IP]",
+    ),
+    (
+        "ipv6",
+        r"\b(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}\b",
+        "[REDACTED_IP6]",
+    ),
+    (
+        "secret_assignment",
+        r"(?i)\b(secret|token|password|passwd|api[_-]?key|access[_-]?key)"
+        r"(\s*[=:]\s*)[\"']?[^\s\"']{6,}[\"']?",
+        r"\1\2[REDACTED]",
+    ),
+)
+
+COMPILED: tuple[tuple[str, "re.Pattern[str]", str], ...] = tuple(
+    (name, re.compile(pat), repl) for name, pat, repl in PATTERNS
+)

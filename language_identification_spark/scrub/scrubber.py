@@ -1,0 +1,38 @@
+"""Pandas-vectorized scrub pass (the Spark-side implementation).
+
+Used inside the pipeline's Arrow pandas UDF; operates on whole batches with
+``pandas.Series.str`` ops — no per-row Python at the Spark level.  A ``mask``
+lets the caller skip rows already marked for drop (single-pass plan: the
+scrub cost is only paid for kept rows, without re-scanning the source —
+SURVEY.md §4.1 "early filter before downstream work").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .patterns import COMPILED
+
+
+def scrub_series(
+    content: pd.Series, mask: pd.Series | None = None
+) -> tuple[pd.Series, pd.Series]:
+    """Returns ``(scrubbed, n_sub)`` aligned with ``content``.
+
+    Rows where ``mask`` is False are passed through untouched with n_sub=0.
+    """
+    if mask is None:
+        mask = pd.Series(True, index=content.index)
+    active = content[mask.fillna(False) & content.notna()]
+    out = content.copy()
+    n_sub = pd.Series(np.zeros(len(content), dtype=np.int64), index=content.index)
+    if len(active):
+        scrubbed = active
+        counts = np.zeros(len(active), dtype=np.int64)
+        for _name, rx, repl in COMPILED:
+            counts += scrubbed.str.count(rx).to_numpy(dtype=np.int64)
+            scrubbed = scrubbed.str.replace(rx, repl, regex=True)
+        out.loc[scrubbed.index] = scrubbed
+        n_sub.loc[scrubbed.index] = counts
+    return out, n_sub

@@ -1,0 +1,37 @@
+"""SparkSession factory with the scale-minded defaults used everywhere.
+
+Local-mode testing stands in for a multi-executor cluster; every knob here
+is chosen to behave the same way on 1000 executors (SURVEY.md §4.2):
+AQE on, Arrow on with a bounded batch size (contents are large — the Arrow
+batch is the analog of the reference's bounded chunked read,
+``/root/reference/disconnected_language_detector.py:843-859``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "language_identification_spark",
+              cores: int | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,64 @@
+"""Scalar/vectorized hash parity — the two code paths must agree exactly."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from language_identification_spark import hashing as H
+
+CASES = [
+    "hello world foo",
+    "a",
+    "",
+    "x  y\tz\nnewline  ",
+    "one" * 3000,
+    "the quick brown fox 123 !@#",
+    "中文测试 中文 test",
+    " leading ws",
+    "trailing ws ",
+    "نص عربي مع فراغات",
+    "tab\tsep\tvals\x0b\x0cmore",
+    "digits 42 and 9000 fold to the same bucket as 17 and 1000",
+]
+
+
+def test_trigram_parity():
+    bts = [t.lower().encode("utf-8") for t in CASES]
+    b, d = H.char_trigram_hashes_batch(bts, 1 << 15)
+    for i, t in enumerate(CASES):
+        assert list(b[d == i]) == H.char_trigram_buckets_scalar(t, 1 << 15), t
+
+
+def test_word_bigram_parity():
+    bts = [t.lower().encode("utf-8") for t in CASES]
+    b, d = H.word_bigram_hashes_batch(bts, 1 << 16)
+    for i, t in enumerate(CASES):
+        assert list(b[d == i]) == H.word_bigram_buckets_scalar(t, 1 << 16), t
+
+
+def test_row_numpy_variants_match_scalar():
+    for t in CASES:
+        assert list(H.char_trigram_buckets_row(t, 1 << 15)) == (
+            H.char_trigram_buckets_scalar(t, 1 << 15)
+        ), t
+        assert list(H.word_bigram_buckets_row(t, 1 << 16)) == (
+            H.word_bigram_buckets_scalar(t, 1 << 16)
+        ), t
+
+
+def test_digit_folding():
+    a = H.word_bigram_buckets_scalar("value 42 end", 1 << 16)
+    b = H.word_bigram_buckets_scalar("value 97 end", 1 << 16)
+    assert a == b
+
+
+@given(st.lists(st.text(max_size=200), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_parity_property(texts):
+    bts = [t.lower().encode("utf-8") for t in texts]
+    b3, d3 = H.char_trigram_hashes_batch(bts, 1 << 15)
+    bw, dw = H.word_bigram_hashes_batch(bts, 1 << 16)
+    for i, t in enumerate(texts):
+        assert list(b3[d3 == i]) == H.char_trigram_buckets_scalar(t, 1 << 15)
+        assert list(bw[dw == i]) == H.word_bigram_buckets_scalar(t, 1 << 16)

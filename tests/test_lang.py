@@ -1,0 +1,45 @@
+"""Label canonicalization tests (reference ``canon_lang`` ``:160-180`` and
+``collapse_supported`` ``:183-204`` semantics, table-driven per SURVEY §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.functions.lang import (
+    canon_lang_col,
+    canon_lang_scalar,
+    primary_lang_col,
+    primary_lang_scalar,
+)
+
+CASES = [
+    ("en", "en", "en"),
+    ("en_us", "en-US", "en"),
+    ("EN-GB", "en-GB", "en"),
+    ("ar-sa", "ar-SA", "ar"),
+    ("es-MX", "es-MX", "es"),
+    ("zh_CN", "zh-CN", "zh"),
+    ("", "", ""),
+    ("  en  ", "en", "en"),
+    ("fr", "fr", ""),  # unsupported → primary collapses to unknown
+    (None, "", ""),
+]
+
+
+@pytest.mark.parametrize("raw,canon,primary", CASES)
+def test_scalar(raw, canon, primary):
+    assert canon_lang_scalar(raw) == canon
+    assert primary_lang_scalar(raw) == primary
+
+
+def test_spark_matches_scalar(spark):
+    df = spark.createDataFrame([(c[0],) for c in CASES], "lang string")
+    rows = df.select(
+        F.col("lang"),
+        canon_lang_col(F.col("lang")).alias("canon"),
+        primary_lang_col(F.col("lang")).alias("primary"),
+    ).collect()
+    expected = {c[0]: (c[1], c[2]) for c in CASES}
+    for r in rows:
+        assert (r.canon, r.primary) == expected[r.lang], r.lang

@@ -1,0 +1,76 @@
+"""The acceptance gate (BASELINE.json:north_rule): the Spark pipeline must
+match the frozen single-process reference labeler at F1 >= 0.99 on keep/drop,
+with identical drop reasons, identical scrubbed text, and sha256(content)
+equality on passed-through rows (input_hint invariant)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from language_identification_spark.datagen.corpus import generate_source_files
+from language_identification_spark.datagen.labeler import label_frame
+from language_identification_spark.plans.pipeline import quality_filter
+
+N_ROWS = 2000
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    src, _truth = generate_source_files(N_ROWS, seed=42)
+    sdf = spark.createDataFrame(src)
+    got = quality_filter(sdf).toPandas().set_index("commit").sort_index()
+    exp = label_frame(src).set_index("commit").sort_index()
+    return got, exp
+
+
+def _f1(tp: int, fp: int, fn: int) -> float:
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    return 2 * p * r / (p + r) if p + r else 0.0
+
+
+def test_keep_f1(results):
+    got, exp = results
+    assert list(got.index) == list(exp.index)
+    g = got["keep"].to_numpy()
+    e = exp["keep"].to_numpy()
+    tp = int((g & e).sum())
+    fp = int((g & ~e).sum())
+    fn = int((~g & e).sum())
+    f1 = _f1(tp, fp, fn)
+    assert f1 >= 0.99, f"F1={f1} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_drop_reasons_match(results):
+    got, exp = results
+    mism = (got["drop_reason"].fillna("") != exp["drop_reason"].fillna("")).sum()
+    assert mism / len(got) <= 0.01, f"{mism}/{len(got)} reason mismatches"
+
+
+def test_scrubbed_text_matches(results):
+    got, exp = results
+    both = got["keep"] & exp["keep"]
+    g = got.loc[both, "scrubbed_content"]
+    e = exp.loc[both, "scrubbed_content"]
+    assert (g == e).all(), (g != e).sum()
+
+
+def test_sha256_invariant_on_passthrough(results):
+    got, _ = results
+    kept = got[got["keep"] & (got["n_redactions"] == 0)]
+    assert len(kept) > N_ROWS * 0.4
+    for _, row in kept.iterrows():
+        sha = hashlib.sha256(row["scrubbed_content"].encode()).hexdigest()
+        assert sha == row["content_sha256"]
+        assert row["scrubbed_sha256"] == row["content_sha256"]
+
+
+def test_redactions_on_pii_rows(results):
+    got, exp = results
+    pii = got[(got["n_redactions"] > 0) & got["keep"]]
+    assert len(pii) > 0
+    # redaction counts agree with the labeler
+    agree = (got["n_redactions"] == exp["n_redactions"]).mean()
+    assert agree >= 0.99
