@@ -1,38 +1,497 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one.  Numeric outputs are integerized (``*_milli`` =
+value*1000 rounded to bigint) so cross-engine float formatting can't break
+the driver's value hash; every computed column is aliased identically on
+both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min sessionization gap
+
+# deterministic ANN query vector (dim 64)
+_QUERY_VEC = [round(float(x), 6) for x in np.random.default_rng(4242).standard_normal(64)]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _as_source_files(docs: DataFrame) -> DataFrame:
+    """Map the driver's documents table onto the input_hint shape."""
+    return docs.select(
+        F.concat(F.lit("src/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/doc"), F.col("doc_id").cast("string"), F.lit(".md")).alias("path"),
+        F.sha2(F.encode(F.col("doc_id").cast("string"), "UTF-8"), 256).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: keep/drop + scrub over sf0.001 documents."""
+    from language_identification_spark.plans.pipeline import quality_filter
+
+    src = _as_source_files(_docs(spark, "/root/testdata/sf0.001"))
+    return quality_filter(src)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_lang_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.functions.lang import (
+        canon_lang_col,
+        primary_lang_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dirty = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper(F.col("lang")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("lang"), F.lit("_us")))
+        .otherwise(F.col("lang"))
+    )
+    return (
+        docs.withColumn("dirty_lang", dirty)
+        .select(
+            "dirty_lang",
+            canon_lang_col(F.col("dirty_lang")).alias("lang_canon"),
+            primary_lang_col(F.col("dirty_lang")).alias("lang_primary"),
+        )
+        .groupBy("dirty_lang", "lang_canon", "lang_primary")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_LANG_CANON = """
+WITH dirty AS (
+  SELECT CASE
+           WHEN doc_id % 3 = 0 THEN upper(lang)
+           WHEN doc_id % 3 = 1 THEN lang || '_us'
+           ELSE lang
+         END AS dirty_lang
+  FROM documents
+), parsed AS (
+  SELECT dirty_lang,
+         string_split(replace(trim(dirty_lang), '_', '-'), '-') AS parts
+  FROM dirty
+), canon AS (
+  SELECT dirty_lang,
+         CASE WHEN trim(dirty_lang) = '' THEN ''
+              WHEN len(parts) > 1 AND parts[2] != ''
+                THEN lower(parts[1]) || '-' || upper(parts[2])
+              ELSE lower(parts[1]) END AS lang_canon,
+         CASE WHEN lower(parts[1]) IN ('en','ar','es','zh')
+                THEN lower(parts[1]) ELSE '' END AS lang_primary
+  FROM parsed
+)
+SELECT dirty_lang, lang_canon, lang_primary, count(*) AS n
+FROM canon GROUP BY 1, 2, 3
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.islands import merge_islands
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    islands = merge_islands(
+        ev.withColumn("start", F.col("ts_us")).withColumn("end", F.col("ts_us")),
+        ["user_id"],
+        "user_id",  # constant label within partition → pure gap sessionization
+        "start",
+        "end",
+        max_gap=SESSION_GAP_US,
+    )
+    return islands.select(
+        F.col("user_id"),
+        F.col("island_start").alias("session_start_us"),
+        F.col("island_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us > lag(ts_us) OVER w + {SESSION_GAP_US}
+              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), ids AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       count(*) AS n_events
+FROM ids GROUP BY user_id, sid
+"""
+
+
+def _q_heuristic_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.functions.text import (
+        punct_ratio_col,
+        token_count_col,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id"),
+        F.length("text").cast("long").alias("n_chars"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(punct_ratio_col(F.col("text")) * 1000).cast("long").alias("punct_milli"),
+        (F.length("text") < 64).alias("is_short"),
+    )
+
+
+_SQL_HEURISTIC_FLAGS = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       CAST(round(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+            * 1000.0 / greatest(length(text), 1)) AS BIGINT) AS punct_milli,
+       length(text) < 64 AS is_short
+FROM documents
+"""
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.functions.text import token_count_col
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", token_count_col(F.col("text")).alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.max("tc").cast("long").alias("max_tokens"),
+        )
+    )
+
+
+_SQL_TOKEN_STATS = """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens,
+       CAST(max(tc) AS BIGINT) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.functions.text import fingerprint_col
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        F.col("doc_id"), fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id,
+       substring(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+         AS fingerprint
+FROM documents
+"""
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id").select(
+        "content_hash",
+        F.col("representative").cast("long").alias("representative"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+_SQL_EXACT_DEDUP = """
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS representative,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _q_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2: ordered labeled string-agg (reference :1218-1222)
+    from language_identification_spark.functions.text import fingerprint_col
+
+    docs = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.substring(fingerprint_col(F.col("text")), 1, 8).alias("fp")
+    )
+    return docs.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "fp"))),
+                lambda s: s["fp"],
+            ),
+            " ",
+        ).alias("fps"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+
+
+_SQL_ORDERED_AGG = """
+WITH f AS (
+  SELECT source, doc_id,
+         substring(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 8)
+           AS fp
+  FROM documents
+)
+SELECT source,
+       string_agg(fp, ' ' ORDER BY doc_id) AS fps,
+       count(*) AS n_docs
+FROM f GROUP BY source
+"""
+
+
+def _q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.6: broadcast inner equi-join over small dims
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal") * 1000).cast("long").alias("acctbal_sum_milli"),
+        )
+    )
+
+
+_SQL_BROADCAST_ENRICH = """
+SELECT r.r_name AS region_name,
+       count(*) AS n_customers,
+       CAST(round(sum(c.c_acctbal) * 1000) AS BIGINT) AS acctbal_sum_milli
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+def _q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.6: checkpoint-style anti-join (skip already-done keys)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    done = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey"))
+    )
+    return (
+        orders.join(done, orders.o_custkey == done.c_custkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_SQL_ANTI_JOIN_RESUME = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_acctbal < 0 AND c.c_custkey = o.o_custkey
+)
+GROUP BY o_orderstatus
+"""
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.functions.text import quality_score_col
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.round(quality_score_col(F.col("text")) * 1000).cast("long").alias(
+            "quality_milli"
+        ),
+    )
+
+
+_SQL_QUALITY_SCORES = """
+WITH s AS (
+  SELECT doc_id, text,
+         least(length(text) / 500.0, 1.0) AS length_score,
+         greatest(0.0, 1.0 - (length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+             * 1.0 / greatest(length(text), 1)) * 4.0) AS punct_penalty,
+         least((len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+             * 1.0 / greatest(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)) * 5.0,
+               1.0) AS stop_score
+  FROM documents
+)
+SELECT doc_id,
+       CAST(round(round((length_score + punct_penalty + stop_score) / 3.0, 6) * 1000)
+            AS BIGINT) AS quality_milli
+FROM s
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = cosine_topk(emb, _QUERY_VEC, k=10)
+    return got.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
+def _sql_cosine_topk() -> str:
+    qlist = ", ".join(f"{x!r}" for x in _QUERY_VEC)
+    qnorm = float(np.sqrt(sum(x * x for x in _QUERY_VEC)))
+    return f"""
+WITH q AS (SELECT [{qlist}]::DOUBLE[] AS qv),
+s AS (
+  SELECT vec_id,
+         list_sum(list_transform(list_zip(embedding::DOUBLE[], (SELECT qv FROM q)),
+                  p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) * {qnorm!r})
+           AS cos
+  FROM embeddings
+)
+SELECT vec_id, CAST(round(round(cos, 6) * 1000) AS BIGINT) AS cosine_milli
+FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    return jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round(F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"),
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.dedup import simhash_buckets
+
+    return simhash_buckets(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, _QUERY_VEC, k=10).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, _QUERY_VEC, k=10).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.plans.pipeline import quality_filter
+
+    return quality_filter(_as_source_files(_docs(spark, sf_dir)))
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.plans.pipeline import analyze_udf
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        "lang",
+        analyze_udf(F.col("text"), F.lit(True)).alias("nlp"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("nlp.detected_lang").alias("detected_lang"),
+        F.round(F.col("nlp.confidence") * 1000).cast("long").alias("confidence_milli"),
+    )
+
+
+def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.plans.pipeline import scrub_udf
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        scrub_udf(F.col("text"), F.lit(True)).alias("sc"),
+    ).select(
+        "doc_id",
+        F.col("sc.n_sub").cast("long").alias("n_redactions"),
+        F.sha2(F.encode(F.col("sc.text"), "UTF-8"), 256).alias("scrubbed_sha256"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lang_canon": _q_lang_canon,
+        "sessionize_events": _q_sessionize,
+        "heuristic_flags": _q_heuristic_flags,
+        "token_stats": _q_token_stats,
+        "fingerprint": _q_fingerprint,
+        "exact_dedup": _q_exact_dedup,
+        "ordered_agg": _q_ordered_agg,
+        "broadcast_enrich": _q_broadcast_enrich,
+        "anti_join_resume": _q_anti_join_resume,
+        "quality_scores": _q_quality_scores,
+        "cosine_topk": _q_cosine_topk,
+        # rows-only (model/LSH stages — not ANSI-SQL-expressible)
+        "minhash_jaccard_pairs": _q_minhash_pairs,
+        "simhash_buckets": _q_simhash,
+        "lsh_topk": _q_lsh_topk,
+        "ivf_topk": _q_ivf_topk,
+        "quality_filter_full": _q_quality_filter,
+        "langid_documents": _q_langid,
+        "scrub_documents": _q_scrub,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lang_canon": _SQL_LANG_CANON,
+        "sessionize_events": _SQL_SESSIONIZE,
+        "heuristic_flags": _SQL_HEURISTIC_FLAGS,
+        "token_stats": _SQL_TOKEN_STATS,
+        "fingerprint": _SQL_FINGERPRINT,
+        "exact_dedup": _SQL_EXACT_DEDUP,
+        "ordered_agg": _SQL_ORDERED_AGG,
+        "broadcast_enrich": _SQL_BROADCAST_ENRICH,
+        "anti_join_resume": _SQL_ANTI_JOIN_RESUME,
+        "quality_scores": _SQL_QUALITY_SCORES,
+        "cosine_topk": _sql_cosine_topk(),
+    }

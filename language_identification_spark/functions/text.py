@@ -1,0 +1,76 @@
+"""Text-analysis expressions for training-data pipelines — all pure Catalyst.
+
+Token counting, quality scoring, and document fingerprinting as column
+expressions (whole-stage codegen; SQL-oracle-expressible).  Heuristic
+language ID over the ``documents`` table reuses the model UDF from the
+pipeline (rows-only oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny deterministic english stopword list for quality scoring
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def token_count_col(c: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank strings."""
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def bpe_ish_token_count_col(c: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND on transitions
+    between alnum runs and punctuation runs (a cheap BPE-like upper bound)."""
+    # count alnum runs + non-alnum/non-space runs
+    alnum_runs = F.size(
+        F.filter(F.split(c, r"[^\p{L}\p{N}]+"), lambda x: x != "")
+    )
+    punct_runs = F.size(
+        F.filter(F.split(c, r"[\p{L}\p{N}\s]+"), lambda x: x != "")
+    )
+    return (alnum_runs + punct_runs).cast("long")
+
+
+def punct_ratio_col(c: Column) -> Column:
+    non_alnum_non_space = F.length(F.regexp_replace(c, r"[\p{L}\p{N}\s]", ""))
+    return non_alnum_non_space.cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    ).cast("double")
+
+
+def stopword_ratio_col(c: Column) -> Column:
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    return stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def avg_token_len_col(c: Column) -> Column:
+    t = F.trim(c)
+    n_tok = token_count_col(c)
+    n_nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    return F.when(n_tok > 0, n_nonspace.cast("double") / n_tok).otherwise(F.lit(0.0))
+
+
+def quality_score_col(c: Column) -> Column:
+    """Composite [0,1] quality score from length, punctuation, and stopword
+    signals — a pure-expression stand-in for model-based quality filters."""
+    length_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_penalty = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio_col(c) * F.lit(4.0)
+    )
+    stop_score = F.least(stopword_ratio_col(c) * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        (length_score + punct_penalty + stop_score) / F.lit(3.0), 6
+    )
+
+
+def fingerprint_col(c: Column) -> Column:
+    """Deterministic 64-bit-ish document fingerprint: first 16 hex chars of
+    sha256 over the whitespace-normalized, lowercased text."""
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.substring(F.sha2(F.encode(normalized, "UTF-8"), 256), 1, 16)

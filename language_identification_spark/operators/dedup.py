@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all DataFrame/pandas-UDF native (no per-row Python):
+
+- exact:   sha256 hash-groupBy (one shuffle on the hash)
+- minhash: char-shingle MinHash + LSH banding (shuffle on band buckets —
+           candidate pairs without the O(n²) cross join)
+- simhash: 64-bit weighted word-hash fingerprint, near-dup via identical
+           16-bit chunks (pigeonhole: hamming<=3 ⇒ one of 4 chunks equal)
+- ngram jaccard: exact verification on LSH candidate pairs
+
+Scale notes: every step is a hash-shuffle on short keys (signatures, never
+content); candidate verification joins carry only doc ids + shingle sets of
+candidate rows.  At 100 TB the content column never shuffles.
+
+Determinism: MinHash permutations are fixed (a_i, b_i) from a seeded
+Generator; shingle hashing is the shared FNV spec in ``hashing.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..hashing import char_trigram_hashes_batch
+
+SHINGLE_BUCKETS = 1 << 31  # shingle space for minhash/jaccard
+N_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 pairs
+_MERSENNE = (1 << 61) - 1
+
+_rng = np.random.default_rng(20240816)
+_PERM_A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_PERM_B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct content hash with the
+    representative (min id) and the duplicate count."""
+    h = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("representative"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _minhash_batch(texts: pd.Series) -> pd.Series:
+    """(vectorized) 64-perm MinHash signature per row over char 3-shingles."""
+    bts = [(t or "").lower().encode("utf-8") for t in texts]
+    shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
+    n = len(texts)
+    sigs = np.full((n, N_PERM), _MERSENNE, dtype=np.int64)
+    if len(shingles):
+        # (n_shingles, N_PERM) permuted values, reduced per doc via minimum.at
+        vals = (shingles[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
+        np.minimum.at(sigs, doc_ids, vals)
+    return pd.Series(list(sigs), index=texts.index)
+
+
+minhash_udf = pandas_udf(_minhash_batch, ArrayType(LongType()))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding — no O(n²) cross join.
+
+    Returns distinct ``(id_a, id_b)`` with id_a < id_b whose signatures
+    collide in at least one band.
+    """
+    rows_per_band = N_PERM // LSH_BANDS
+    sigs = minhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact char-3-shingle Jaccard over LSH candidate pairs.
+
+    Shingle sets are computed once (as a distinct-shingle array column) and
+    joined onto the candidate pairs — content itself never re-shuffles.
+    """
+    shingle_udf = pandas_udf(_distinct_shingles_batch, ArrayType(LongType()))
+    sets = df.select(F.col(id_col), shingle_udf(F.col(text_col)).alias("sh"))
+    pairs = lsh_candidate_pairs(df, text_col, id_col)
+    joined = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # two empty shingle sets are byte-identical contents → jaccard 1.0
+    # (and guard the ANSI-mode divide-by-zero)
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _distinct_shingles_batch(texts: pd.Series) -> pd.Series:
+    bts = [(t or "").lower().encode("utf-8") for t in texts]
+    shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
+    out = []
+    if len(shingles):
+        order = np.lexsort((shingles, doc_ids))
+        s, d = shingles[order], doc_ids[order]
+        bounds = np.searchsorted(d, np.arange(len(texts) + 1))
+        for i in range(len(texts)):
+            seg = s[bounds[i] : bounds[i + 1]]
+            out.append(np.unique(seg))
+    else:
+        out = [np.empty(0, dtype=np.int64)] * len(texts)
+    return pd.Series(out, index=texts.index)
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over char-3-shingle hashes (count-weighted)."""
+    bts = [(t or "").lower().encode("utf-8") for t in texts]
+    shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
+    n = len(texts)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    if len(shingles):
+        # spread the 31-bit shingle hash to 64 bits with two more FNV-style mixes
+        h = shingles.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (h ^ (h >> np.uint64(15))) * np.uint64(0x2545F4914F6CDD1D)
+            h = h ^ (h >> np.uint64(32))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        np.add.at(acc, doc_ids, 2 * bits - 1)
+    sim = (acc > 0).astype(np.uint64)
+    vals = np.zeros(n, dtype=np.uint64)
+    for k in range(64):
+        vals |= sim[:, k] << np.uint64(k)
+    return pd.Series(vals.astype(np.int64), index=texts.index)
+
+
+simhash_udf = pandas_udf(_simhash_batch, LongType())
+
+
+def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """SimHash fingerprints + the 4×16-bit chunk keys used for near-dup
+    bucketing (hamming<=3 guarantees a shared chunk)."""
+    out = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    for c in range(4):
+        out = out.withColumn(
+            f"chunk{c}",
+            F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
+        )
+    return out

@@ -1,0 +1,69 @@
+"""Dedup operator tests: exact groups, minhash/LSH candidate recall on
+constructed near-dups, jaccard verification, simhash locality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_buckets,
+)
+
+BASE = (
+    "the scheduler retries failed tasks up to three times before giving up "
+    "and every request carries a correlation id so traces can be stitched"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("three", "four")),  # near dup of 0
+        (3, "completely different content about hash tables and load factors"),
+        (4, ""),
+        (5, ""),  # exact dup of 4
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    got = {
+        r.representative: r.n_copies
+        for r in exact_dedup(docs, "text", "doc_id").collect()
+    }
+    assert got[0] == 2  # 0 and 1
+    assert got[4] == 2  # the two empties
+    assert got[2] == 1 and got[3] == 1
+
+
+def test_lsh_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert (0, 1) in pairs  # exact dup always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup should collide
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_jaccard_verification(docs):
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, "text", "doc_id", 0.5).collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.8 < got[(0, 2)] < 1.0
+    assert got.get((4, 5)) == 1.0  # empty-vs-empty defined as identical
+
+
+def test_simhash_locality(docs):
+    rows = {r.doc_id: r for r in simhash_buckets(docs, "text", "doc_id").collect()}
+    assert rows[0].simhash == rows[1].simhash  # identical text
+    # near dup within hamming 3 → shares at least one 16-bit chunk
+    shared = sum(
+        rows[0][f"chunk{c}"] == rows[2][f"chunk{c}"] for c in range(4)
+    )
+    assert shared >= 1
+    # unrelated text differs in most chunks
+    far = sum(rows[0][f"chunk{c}"] == rows[3][f"chunk{c}"] for c in range(4))
+    assert far <= 1

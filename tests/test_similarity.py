@@ -1,0 +1,54 @@
+"""Similarity search: brute-force exactness vs numpy, IVF/LSH sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from language_identification_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(99)
+    mat = rng.standard_normal((200, DIM)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, mat
+
+
+def _numpy_topk(mat, q, k):
+    cos = (mat.astype(np.float64) @ q) / (
+        np.linalg.norm(mat.astype(np.float64), axis=1) * np.linalg.norm(q)
+    )
+    order = np.lexsort((np.arange(len(mat)), -cos))
+    return [int(i) for i in order[:k]]
+
+
+def test_bruteforce_matches_numpy(emb):
+    df, mat = emb
+    q = list(np.random.default_rng(5).standard_normal(DIM))
+    got = [r.vec_id for r in cosine_topk(df, q, k=10).collect()]
+    assert got == _numpy_topk(mat, np.asarray(q), 10)
+
+
+def test_ivf_recall_reasonable(emb):
+    df, mat = emb
+    q = list(np.random.default_rng(5).standard_normal(DIM))
+    exact = set(_numpy_topk(mat, np.asarray(q), 10))
+    approx = {r.vec_id for r in ivf_topk(df, q, k=10).collect()}
+    assert len(exact & approx) >= 4  # isotropic data: modest but real recall
+
+
+def test_lsh_returns_subset_ranked(emb):
+    df, mat = emb
+    q = list(np.random.default_rng(5).standard_normal(DIM))
+    rows = lsh_topk(df, q, k=10).collect()
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)

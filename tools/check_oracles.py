@@ -1,0 +1,83 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs every ``queries()`` entry at sf0.01 and compares row count, column
+names, and order-insensitive values against ``oracle_sql()`` where present.
+Usage: python tools/check_oracles.py [sf_dir] [only_query]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+
+    import __spark_entry__ as entrymod
+    from language_identification_spark.session import get_spark
+
+    spark = get_spark("oracle-check", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name != only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            assert len(got) >= 0
+            continue
+        exp = con.sql(oracles[name]).df()
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rowcount {len(g)} vs {len(e)}")
+            failures += 1
+            continue
+        if not g.equals(e):
+            neq = (g != e).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(g)} rows differ; first:")
+            print(pd.concat([g[neq].head(3), e[neq].head(3)]))
+            failures += 1
+            continue
+        print(f"ok   {name}: {len(g)} rows match oracle")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
