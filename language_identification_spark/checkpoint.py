@@ -1,0 +1,104 @@
+"""Resumable, skew-salted, checkpointed pipeline runner.
+
+North-rule requirements materialized here: "partitioning / shuffle / skew
+handled explicitly … resumable from checkpoint with per-partition lineage +
+metrics".
+
+- **Salting**: the batch key is ``xxhash64(repo, path) % n_buckets`` — NOT
+  ``repo`` alone.  The fixtures include one mega-repo holding ~30% of rows
+  (FIXTURES.md F1); keying by repo would hot-spot one bucket, hashing
+  (repo, path) spreads it uniformly.  The skew test asserts the post-salt
+  max/median bucket ratio.
+- **Checkpointing**: one snapshot commit per completed bucket (TableIO's
+  atomic manifest swap).  Resume lists committed bucket ids and processes
+  only the rest — the anti-join of SURVEY.md §2.6, done driver-side on
+  bucket ids (thousands at most), never on row data.
+- **Lineage + metrics**: one row per bucket: rows in/kept, per-reason drop
+  counts, redaction total, wall ms.  Mirrors the reference's raw-events /
+  merged-segments audit split (``disconnected_language_detector.py:995-996``,
+  counts at ``:1204,:1226``).
+
+Scale note: each bucket is a full parallel Spark job over ~1/n_buckets of
+the input; n_buckets trades checkpoint granularity against job-submit
+overhead.  At 10^12 files one would use a few thousand buckets so a restart
+loses <0.1% of work.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sources.tableio import ParquetTableIO
+
+
+def bucket_col(n_buckets: int) -> F.Column:
+    return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets))
+
+
+def run_checkpointed(
+    spark: SparkSession,
+    src: DataFrame,
+    out_root: str,
+    stage_fn: Callable[[DataFrame], DataFrame],
+    n_buckets: int = 8,
+    fail_after: int | None = None,
+) -> DataFrame:
+    """Run ``stage_fn`` bucket by bucket with snapshot commits.
+
+    ``fail_after=k`` injects a crash after k committed buckets (test hook,
+    FIXTURES.md F5).  Returns the union of all committed results.
+    """
+    results = ParquetTableIO(f"{out_root}/results")
+    metrics = ParquetTableIO(f"{out_root}/metrics")
+
+    done = {m["bucket"] for m in results.committed_meta()}
+    src_b = src.withColumn("_bucket", bucket_col(n_buckets))
+    processed = 0
+    for b in range(n_buckets):
+        if b in done:
+            continue
+        t0 = time.monotonic()
+        part = src_b.filter(F.col("_bucket") == b).drop("_bucket")
+        snap = results.append(stage_fn(part), {"bucket": b})
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        # metrics come from the WRITTEN snapshot — a cheap column-pruned
+        # parquet scan, never a recompute of the UDF stages
+        out = spark.read.parquet(results.snapshot_dir(snap))
+        m = (
+            out.agg(
+                F.count(F.lit(1)).alias("rows_in"),
+                F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias(
+                    "rows_kept"
+                ),
+                F.coalesce(F.sum((~F.col("keep")).cast("long")), F.lit(0)).alias(
+                    "rows_dropped"
+                ),
+                F.coalesce(F.sum("n_redactions"), F.lit(0)).alias("n_redactions"),
+            )
+            .withColumn("bucket", F.lit(b))
+            .withColumn("wall_ms", F.lit(wall_ms))
+        )
+        reason_counts = (
+            out.groupBy(F.coalesce(F.col("drop_reason"), F.lit("keep")).alias("reason"))
+            .count()
+            .agg(F.map_from_entries(F.collect_list(F.struct("reason", "count"))).alias(
+                "dropped_by_reason"
+            ))
+        )
+        metrics.append(m.crossJoin(reason_counts), {"bucket": b})
+        processed += 1
+        if fail_after is not None and processed >= fail_after:
+            raise RuntimeError(f"injected failure after bucket {b}")
+    out = results.read(spark)
+    assert out is not None
+    return out
+
+
+def read_metrics(spark: SparkSession, out_root: str) -> DataFrame:
+    m = ParquetTableIO(f"{out_root}/metrics").read(spark)
+    assert m is not None
+    return m

@@ -55,8 +55,12 @@ class LangIdModel:
         scores = np.zeros((n, L), dtype=np.float64)
         counts = np.zeros(n, dtype=np.int64)
         if len(buckets):
-            np.add.at(scores, doc_ids, self.logp[buckets])
-            np.add.at(counts, doc_ids, 1)
+            # bincount-with-weights is ~10x faster than np.add.at here
+            for j in range(L):
+                scores[:, j] = np.bincount(
+                    doc_ids, weights=self.logp[buckets, j], minlength=n
+                )
+            counts = np.bincount(doc_ids, minlength=n)
         has = counts > 0
         mean_ll_mat = np.full((n, L), -100.0)
         mean_ll_mat[has] = scores[has] / counts[has, None]

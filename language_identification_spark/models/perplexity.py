@@ -47,8 +47,11 @@ class BigramLM:
         sums = np.zeros((n, L), dtype=np.float64)
         counts = np.zeros(n, dtype=np.int64)
         if len(buckets):
-            np.add.at(sums, doc_ids, self.logp[buckets])
-            np.add.at(counts, doc_ids, 1)
+            for j in range(L):
+                sums[:, j] = np.bincount(
+                    doc_ids, weights=self.logp[buckets, j], minlength=n
+                )
+            counts = np.bincount(doc_ids, minlength=n)
         has = counts > 0
         mean_ll = np.zeros((n, L), dtype=np.float64)
         mean_ll[has] = sums[has] / counts[has, None]

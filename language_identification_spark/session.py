@@ -21,6 +21,13 @@ def get_spark(app: str = "language_identification_spark",
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
+    # keep numpy's large temporaries on the reusable brk heap instead of
+    # fresh mmaps — this host pays a very high first-touch cost on new
+    # mappings, and numpy frees >1MB buffers back to the OS by default, so
+    # every Arrow batch would re-fault hundreds of MB.  Must be set before
+    # the JVM (and hence the python workers) starts.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -32,6 +39,8 @@ def get_spark(app: str = "language_identification_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.python.worker.reuse", "true")
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "536870912")
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "536870912")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

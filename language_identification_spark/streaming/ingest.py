@@ -1,0 +1,65 @@
+"""Structured Streaming ingest reusing the exact batch stage functions.
+
+The reference is a push-based single-pass stream (SURVEY.md §1.3); the batch
+pipeline is this target's primary mode, and this module closes the loop: a
+file-source stream of source_files parquet runs the SAME ``quality_filter``
+plan per micro-batch via ``foreachBatch``, committing each batch through the
+TableIO snapshot contract — the streaming analog of the reference's
+incremental flush (``disconnected_language_detector.py:1011-1037``).
+
+``foreachBatch`` (not a plain streaming sink) is deliberate: the pipeline
+contains multi-stage Arrow UDFs and the snapshot commit, both of which are
+batch concepts — this is the documented pattern for reusing batch writers in
+Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.pipeline import quality_filter
+from ..sources.tableio import ParquetTableIO
+
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("repo", StringType()),
+        StructField("path", StringType()),
+        StructField("commit", StringType()),
+        StructField("lang", StringType()),
+        StructField("content", StringType()),
+    ]
+)
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 4,
+) -> StreamingQuery:
+    """Stream source_files parquet from ``source_dir`` through the batch
+    quality_filter, one TableIO snapshot per micro-batch."""
+    results = ParquetTableIO(f"{out_root}/results")
+
+    stream = (
+        spark.readStream.schema(SOURCE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        results.append(quality_filter(batch_df), {"batch_id": batch_id})
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

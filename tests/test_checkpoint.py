@@ -1,0 +1,91 @@
+"""Checkpoint/resume fixture (FIXTURES.md F5): kill after k buckets, resume,
+require byte-identical output to an uninterrupted run; lineage row per
+bucket; salting breaks the mega-repo skew."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.checkpoint import (
+    bucket_col,
+    read_metrics,
+    run_checkpointed,
+)
+from language_identification_spark.datagen.corpus import generate_source_files
+from language_identification_spark.plans.pipeline import quality_filter
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    pdf, _ = generate_source_files(400, seed=42)
+    return spark.createDataFrame(pdf)
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return [tuple(str(x) for x in r) for r in df.select(*cols).orderBy("commit").collect()]
+
+
+def test_resume_equals_single_run(spark, src, tmp_path):
+    full = run_checkpointed(
+        spark, src, str(tmp_path / "full"), quality_filter, N_BUCKETS
+    )
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, src, str(tmp_path / "resumed"), quality_filter, N_BUCKETS,
+            fail_after=2,
+        )
+    # resume: same out_root, no injection
+    resumed = run_checkpointed(
+        spark, src, str(tmp_path / "resumed"), quality_filter, N_BUCKETS
+    )
+    assert _sorted_rows(resumed) == _sorted_rows(full)
+
+
+def test_resume_skips_completed_buckets(spark, src, tmp_path):
+    root = str(tmp_path / "skip")
+    with pytest.raises(RuntimeError):
+        run_checkpointed(
+            spark, src, root, quality_filter, N_BUCKETS, fail_after=3
+        )
+    m1 = read_metrics(spark, root)
+    assert m1.count() == 3
+    run_checkpointed(spark, src, root, quality_filter, N_BUCKETS)
+    m2 = read_metrics(spark, root)
+    assert m2.count() == N_BUCKETS  # only the missing bucket was added
+    assert m2.select("bucket").distinct().count() == N_BUCKETS
+
+
+def test_lineage_metrics_content(spark, src, tmp_path):
+    root = str(tmp_path / "metrics")
+    out = run_checkpointed(spark, src, root, quality_filter, N_BUCKETS)
+    m = read_metrics(spark, root).collect()
+    assert len(m) == N_BUCKETS
+    assert sum(r.rows_in for r in m) == src.count()
+    for r in m:
+        assert r.rows_in == r.rows_kept + r.rows_dropped
+        assert r.wall_ms > 0
+        total_in_map = sum(r.dropped_by_reason.values())
+        assert total_in_map == r.rows_in
+    assert out.count() == src.count()
+
+
+def test_salting_breaks_mega_repo_skew(spark, src):
+    # mega-repo holds ~30% of rows; salted buckets must stay balanced
+    sizes = (
+        src.withColumn("b", bucket_col(16))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in sizes)
+    median = counts[len(counts) // 2]
+    assert max(counts) / median < 2.0, counts
+    # contrast: keying by repo alone would put 30% in one bucket
+    by_repo = (
+        src.groupBy("repo").count().orderBy(F.desc("count")).first()["count"]
+    )
+    assert by_repo > src.count() * 0.25

@@ -1,0 +1,48 @@
+"""Multimodal plumbing: schema, batch shape, deterministic stub features,
+frame-sampling plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from language_identification_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", b"\x89PNG fake bytes", 32, 32, None, None),
+        (1, "audio", b"RIFF fake wav", None, None, 16000, None),
+        (2, "video", b"fake mp4", 64, 64, None, 30),
+        (3, "image", b"", 0, 0, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, width int, height int,"
+        " sample_rate int, n_frames int",
+    )
+
+
+def test_extract_features_schema_and_determinism(media):
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert len(r.feature) == FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+    assert rows[0].payload_sha256 == hashlib.sha256(b"\x89PNG fake bytes").hexdigest()
+    assert rows[3].payload_bytes == 0
+    # determinism: second run identical
+    again = {r.media_id: r for r in extract_features(media).collect()}
+    assert all(rows[i].feature == again[i].feature for i in rows)
+
+
+def test_frame_sample_plan(media):
+    frames = frame_sample_plan(media, every_n=10).collect()
+    assert [f.frame_idx for f in frames] == [0, 10, 20]
+    assert all(f.media_id == 2 for f in frames)
