@@ -3,10 +3,12 @@
 No real cluster exists in this sandbox, so per the driver instruction the
 same job runs at two parallelism levels — ``local[8]`` (N) and ``local[32]``
 (4N) — on the same input; efficiency = (throughput_32 / throughput_8) / 4.
-Each level runs in a FRESH subprocess (a JVM cannot change master) and
-times the steady-state quality_filter pass (median of ``--runs`` in-session
-repeats, after a full-worker warmup — the long-running-executor regime the
-rule is about).
+Each level runs in a FRESH subprocess (a JVM cannot change master).  This
+host degrades monotonically under sustained memory churn (see
+docs/SCALE.md), so the two levels are INTERLEAVED round-by-round
+(8,32,8,32,…) and the steady-state statistic is the per-level MIN — noise
+on this host only ever adds time.  Each subprocess does a full warmup pass,
+then one timed pass: the long-running-executor regime the rule is about.
 
 Writes BENCH/BASELINE.md.  Usage: python BENCH/run_scaling.py [--rows 100000]
 """
@@ -31,26 +33,22 @@ cores = {cores}
 spark = get_spark("scaling", cores=cores)
 src = {src!r}
 def noop(df): df.write.format("noop").mode("overwrite").save()
-noop(quality_filter(spark.read.parquet(src).limit(8192).repartition(cores)))  # warmup
-samples = []
-for _ in range({runs}):
-    t0 = time.monotonic(); noop(quality_filter(spark.read.parquet(src)))
-    samples.append(time.monotonic() - t0)
-samples.sort()
-print("RESULT " + json.dumps({{"cores": cores, "samples": samples,
-      "median": samples[len(samples)//2]}}))
+noop(quality_filter(spark.read.parquet(src)))  # full warmup pass
+t0 = time.monotonic(); noop(quality_filter(spark.read.parquet(src)))
+print("RESULT " + json.dumps({{"cores": cores,
+      "wall": time.monotonic() - t0}}))
 spark.stop()
 """
 
 
-def run_level(cores: int, src: str, runs: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, src=src, runs=runs)
+def run_level(cores: int, src: str) -> float:
+    code = CHILD.format(repo=REPO, cores=cores, src=src)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            return float(json.loads(line[len("RESULT "):])["wall"])
     raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stderr[-3000:]}")
 
 
@@ -58,6 +56,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--n", type=int, default=8, help="N cores (4N runs too)")
+    ap.add_argument("--append", action="store_true", help="append to BASELINE.md")
     args = ap.parse_args()
 
     src = os.path.join(REPO, ".bench", f"source_files_{args.rows}.parquet")
@@ -71,42 +71,51 @@ def main() -> None:
         spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(src)
         spark.stop()
 
-    r8 = run_level(8, src, args.runs)
-    r32 = run_level(32, src, args.runs)
-    thr8 = args.rows / r8["median"]
-    thr32 = args.rows / r32["median"]
-    eff = (thr32 / thr8) / 4
+    n, n4 = args.n, 4 * args.n
+    s_lo: list[float] = []
+    s_hi: list[float] = []
+    for _ in range(args.runs):
+        s_lo.append(run_level(n, src))
+        s_hi.append(run_level(n4, src))
+    w_lo, w_hi = min(s_lo), min(s_hi)
+    thr_lo = args.rows / w_lo
+    thr_hi = args.rows / w_hi
+    eff = (thr_hi / thr_lo) / 4
 
-    md = f"""# BENCH/BASELINE.md — measured results
-
-## Scaling efficiency (north_rule: >=0.8 from N to 4N)
+    section = f"""## Scaling N={n} → 4N={n4} ({args.rows:,} rows)
 
 Same job (`quality_filter` end-to-end: langid + perplexity + heuristics +
-scrub), same input ({args.rows:,} synthetic source files, seed=42), two
-parallelism levels, fresh JVM each, median of {args.runs} steady-state runs
-after full-worker warmup.
+scrub), same input (seed=42), levels interleaved round-by-round, fresh JVM
+per run, one full warmup pass then one timed pass per run, per-level MIN of
+{args.runs} rounds (this host's noise only ever adds time; see docs/SCALE.md).
 
-| level | cores | median wall (s) | throughput (files/s) |
+| level | cores | best wall (s) | throughput (files/s) |
 |---|---|---|---|
-| N  | 8  | {r8['median']:.2f} | {thr8:,.0f} |
-| 4N | 32 | {r32['median']:.2f} | {thr32:,.0f} |
+| N  | {n}  | {w_lo:.2f} | {thr_lo:,.0f} |
+| 4N | {n4} | {w_hi:.2f} | {thr_hi:,.0f} |
 
-**Scaling efficiency = (thr_32 / thr_8) / 4 = {eff:.3f}**
+**Scaling efficiency = (thr_4N / thr_N) / 4 = {eff:.3f}**
 
-Raw samples (s): 8 cores {[round(s,2) for s in r8['samples']]},
-32 cores {[round(s,2) for s in r32['samples']]}.
+Raw interleaved samples (s): {n} cores {[round(s,2) for s in s_lo]},
+{n4} cores {[round(s,2) for s in s_hi]}.
 
-## Correctness gates (see tests/)
-
-- F1 vs frozen reference labeler: >= 0.99 (`tests/test_pipeline_f1.py`)
-- sha256(content) equality on passed-through rows: exact
-- DuckDB oracle agreement at sf0.01: 11/11 SQL-expressible queries
-  (`tools/check_oracles.py`)
 """
     out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(out_path, "w") as f:
-        f.write(md)
-    print(json.dumps({"eff": round(eff, 3), "thr8": round(thr8), "thr32": round(thr32)}))
+    if args.append and os.path.exists(out_path):
+        with open(out_path, "a") as f:
+            f.write("\n" + section)
+    else:
+        header = (
+            "# BENCH/BASELINE.md — measured results\n\n"
+            "Scaling-efficiency evidence per BASELINE.json:north_rule (>=0.8\n"
+            "from N to 4N). Correctness gates: F1>=0.99 vs the frozen labeler\n"
+            "(tests/test_pipeline_f1.py), sha256 pass-through equality, DuckDB\n"
+            "oracle agreement 11/11 at sf0.01 (tools/check_oracles.py).\n\n"
+        )
+        with open(out_path, "w") as f:
+            f.write(header + section)
+    print(json.dumps({"n": n, "eff": round(eff, 3), "thr_lo": round(thr_lo),
+                      "thr_hi": round(thr_hi)}))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,66 @@
+"""spark-submit entry point for the quality-filter pipeline.
+
+Packaging + launch (the reference ships models inside docker containers,
+``/root/reference/scripts/run-containers.ps1``; here the analog is a
+py-files zip + deterministic per-worker model build):
+
+    cd /root/repo && zip -qr /tmp/pipeline.zip language_identification_spark
+    spark-submit --py-files /tmp/pipeline.zip jobs/run_pipeline.py \
+        --source /path/to/source_files_parquet \
+        --out /path/to/output_root \
+        --buckets 64 [--resume]
+
+Reads the source table, runs the checkpointed keep/drop+scrub pipeline, and
+writes results + lineage metrics through the snapshot TableIO.  Re-running
+with the same ``--out`` resumes from the last committed bucket.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--app-name", default="quality-filter")
+    args = ap.parse_args()
+
+    # plain builder (no master override) so spark-submit controls deployment
+    spark = SparkSession.builder.appName(args.app_name).getOrCreate()
+
+    from language_identification_spark.checkpoint import (
+        read_metrics,
+        run_checkpointed,
+    )
+    from language_identification_spark.plans.pipeline import quality_filter
+
+    src = spark.read.parquet(args.source)
+    out = run_checkpointed(
+        spark, src, args.out, quality_filter, n_buckets=args.buckets
+    )
+    m = read_metrics(spark, args.out)
+    totals = m.groupBy().sum("rows_in", "rows_kept", "rows_dropped", "n_redactions")
+    row = totals.first()
+    print(
+        json.dumps(
+            {
+                "rows_in": row[0],
+                "rows_kept": row[1],
+                "rows_dropped": row[2],
+                "n_redactions": row[3],
+                "buckets": args.buckets,
+                "out_rows": out.count(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -7,11 +7,12 @@ implement exactly this):
   bytes.
 - Character features are byte trigrams hashed with FNV-1a 64-bit.
 - Word features are maximal runs of non-(ASCII-whitespace) bytes, each
-  clipped to its first ``WORD_BYTES`` bytes, with every ASCII digit mapped to
-  ``0`` (numerals carry no word-order signal and would otherwise make every
-  literal-bearing bigram unseen), and hashed with FNV-1a 64; a word
-  bigram combines the two word hashes as
-  ``((w1 * FNV_PRIME) ^ w2) * FNV_PRIME  (mod 2**64)``.
+  clipped to its first ``WORD_BYTES`` bytes and zero-padded to exactly
+  ``WORD_BYTES`` bytes (fixed-width FNV needs no per-byte masking in the
+  vectorized path), with every ASCII digit mapped to ``0`` (numerals carry
+  no word-order signal and would otherwise make every literal-bearing
+  bigram unseen), and hashed with FNV-1a 64; a word bigram combines the two
+  word hashes as ``((w1 * FNV_PRIME) ^ w2) * FNV_PRIME  (mod 2**64)``.
 - Bucket index = ``hash % n_buckets``.
 
 Two implementations live here: a fully vectorized numpy one (used inside
@@ -53,7 +54,10 @@ def word_bigram_buckets_scalar(text: str, n_buckets: int) -> list[int]:
     # bytes.split() splits on exactly the ASCII whitespace set the
     # vectorized path masks: space \t \n \r \v \f
     words = text.lower().encode("utf-8")[:SAMPLE_BYTES].split()
-    hashes = [fnv1a(w[:WORD_BYTES].translate(_DIGIT_FOLD)) for w in words]
+    hashes = [
+        fnv1a(w[:WORD_BYTES].translate(_DIGIT_FOLD).ljust(WORD_BYTES, b"\x00"))
+        for w in words
+    ]
     out = []
     for i in range(len(hashes) - 1):
         h = ((hashes[i] * FNV_PRIME) & MASK64) ^ hashes[i + 1]
@@ -80,21 +84,12 @@ def word_bigram_buckets_row(text: str, n_buckets: int) -> np.ndarray:
     if len(words) < 2:
         return np.empty(0, dtype=np.int64)
     n = len(words)
-    lens = np.minimum(np.fromiter((len(w) for w in words), np.int64, n), WORD_BYTES)
-    mat = np.zeros((n, WORD_BYTES), dtype=np.uint8)
-    packed = b"".join(w[:WORD_BYTES] for w in words)
-    flat = np.frombuffer(packed, dtype=np.uint8)
-    pos = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=pos[1:])
-    cols = np.arange(WORD_BYTES)
-    live = cols[None, :] < lens[:, None]
-    mat[live] = flat
+    packed = b"".join(w[:WORD_BYTES].ljust(WORD_BYTES, b"\x00") for w in words)
+    mat = np.frombuffer(packed, dtype=np.uint8).reshape(n, WORD_BYTES)
     mat = np.where((mat >= 48) & (mat <= 57), 48, mat)
+    h = _fnv1a_vec_bytes([mat[:, c] for c in range(WORD_BYTES)])
+    prime = np.uint64(FNV_PRIME)
     with np.errstate(over="ignore"):
-        h = np.full(n, FNV_OFFSET, dtype=np.uint64)
-        prime = np.uint64(FNV_PRIME)
-        for c in range(WORD_BYTES):
-            h = np.where(live[:, c], (h ^ mat[:, c].astype(np.uint64)) * prime, h)
         bg = ((h[:-1] * prime) ^ h[1:]) * prime
     return (bg % np.uint64(n_buckets)).astype(np.int64)
 
@@ -143,9 +138,13 @@ def char_trigram_hashes_batch(
     n = len(buf)
     if n < 3:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # doc of each start position (repeat is one sequential write — cheaper
+    # than a binary search per position); a trigram is valid iff it ends in
+    # the same doc
+    doc_ids = np.repeat(
+        np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+    )[: n - 2]
     starts = np.arange(n - 2, dtype=np.int64)
-    # doc of each start position; a trigram is valid iff it ends in the same doc
-    doc_ids = np.searchsorted(offsets, starts, side="right") - 1
     valid = starts + 3 <= offsets[doc_ids + 1]
     starts = starts[valid]
     doc_ids = doc_ids[valid]
@@ -190,23 +189,22 @@ def word_bigram_hashes_batch(
     if len(starts) == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     lens = np.minimum(ends - starts, WORD_BYTES)
-    idx = starts[:, None] + np.arange(WORD_BYTES, dtype=np.int64)[None, :]
-    live = idx < (starts + lens)[:, None]
-    gathered = buf[np.minimum(idx, n - 1)]
-    gathered = np.where((gathered >= 48) & (gathered <= 57), 48, gathered).astype(
-        np.uint64
-    )
-    with np.errstate(over="ignore"):
-        h = np.full(len(starts), FNV_OFFSET, dtype=np.uint64)
-        prime = np.uint64(FNV_PRIME)
-        for c in range(WORD_BYTES):
-            h = np.where(live[:, c], (h ^ gathered[:, c]) * prime, h)
+    # sliding-window view = zero-copy; one fancy-index produces the
+    # (n_words, WORD_BYTES) uint8 matrix directly (16 B/word, not the
+    # 128 B/word an int64 index matrix would cost)
+    bufp = np.concatenate([buf, np.zeros(WORD_BYTES, dtype=np.uint8)])
+    gathered = np.lib.stride_tricks.sliding_window_view(bufp, WORD_BYTES)[starts]
+    live = np.arange(WORD_BYTES, dtype=np.int64)[None, :] < lens[:, None]
+    gathered = gathered * live  # zero-pad past each word's end (spec)
+    gathered = np.where((gathered >= 48) & (gathered <= 57), 48, gathered)
+    h = _fnv1a_vec_bytes([gathered[:, c] for c in range(WORD_BYTES)])
     word_doc = np.searchsorted(offsets, starts, side="right") - 1
     # consecutive word pairs within the same doc
     same_doc = word_doc[:-1] == word_doc[1:]
     w1 = h[:-1][same_doc]
     w2 = h[1:][same_doc]
     doc_ids = word_doc[:-1][same_doc]
+    prime = np.uint64(FNV_PRIME)
     with np.errstate(over="ignore"):
         bg = ((w1 * prime) ^ w2) * prime
     return (bg % np.uint64(n_buckets)).astype(np.int64), doc_ids

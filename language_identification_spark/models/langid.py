@@ -52,18 +52,18 @@ class LangIdModel:
         n = len(texts)
         L = len(self.langs)
         buckets, doc_ids = char_trigram_hashes_batch(texts, N_BUCKETS)
-        scores = np.zeros((n, L), dtype=np.float64)
-        counts = np.zeros(n, dtype=np.int64)
-        if len(buckets):
-            # bincount-with-weights is ~10x faster than np.add.at here
-            for j in range(L):
-                scores[:, j] = np.bincount(
-                    doc_ids, weights=self.logp[buckets, j], minlength=n
-                )
-            counts = np.bincount(doc_ids, minlength=n)
+        # doc_ids is doc-sorted: one (n_tri, L) gather + one add.reduceat
+        # pass beats per-language bincounts ~3x in memory traffic
+        bounds = np.searchsorted(doc_ids, np.arange(n + 1))
+        counts = np.diff(bounds)
         has = counts > 0
         mean_ll_mat = np.full((n, L), -100.0)
-        mean_ll_mat[has] = scores[has] / counts[has, None]
+        if len(buckets):
+            w = self.logp[buckets]  # (n_tri, L) float32
+            idx = np.minimum(bounds[:-1], len(buckets) - 1)
+            sums = np.add.reduceat(w, idx, axis=0).astype(np.float64)
+            # reduceat yields w[idx] for empty segments; 'has' masks those out
+            mean_ll_mat[has] = sums[has] / counts[has, None]
         label = np.where(has, mean_ll_mat.argmax(axis=1), -1).astype(np.int32)
         # stable softmax over scaled mean log-likelihoods
         z = SOFTMAX_SCALE * mean_ll_mat

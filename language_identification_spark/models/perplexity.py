@@ -44,17 +44,15 @@ class BigramLM:
         n = len(texts)
         L = len(self.langs)
         buckets, doc_ids = word_bigram_hashes_batch(texts, N_BUCKETS)
-        sums = np.zeros((n, L), dtype=np.float64)
-        counts = np.zeros(n, dtype=np.int64)
-        if len(buckets):
-            for j in range(L):
-                sums[:, j] = np.bincount(
-                    doc_ids, weights=self.logp[buckets, j], minlength=n
-                )
-            counts = np.bincount(doc_ids, minlength=n)
+        bounds = np.searchsorted(doc_ids, np.arange(n + 1))
+        counts = np.diff(bounds)
         has = counts > 0
         mean_ll = np.zeros((n, L), dtype=np.float64)
-        mean_ll[has] = sums[has] / counts[has, None]
+        if len(buckets):
+            w = self.logp[buckets]  # (n_bigram, L) float32
+            idx = np.minimum(bounds[:-1], len(buckets) - 1)
+            sums = np.add.reduceat(w, idx, axis=0).astype(np.float64)
+            mean_ll[has] = sums[has] / counts[has, None]
         idx = np.asarray(lang_idx, dtype=np.int64)
         picked = np.where(
             idx >= 0,

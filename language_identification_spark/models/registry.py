@@ -22,7 +22,7 @@ _CACHE: dict[str, object] = {}
 
 # bump when anything upstream of the weights changes (hashing spec, corpus,
 # smoothing) — stale disk caches must never be read
-_WEIGHTS_VERSION = "v2"
+_WEIGHTS_VERSION = "v3"  # v3: fixed-width zero-padded word hashing
 
 
 def _disk_cache_path() -> str:

@@ -1,0 +1,95 @@
+"""Stateful streaming island merge — the reference's LIVE switch machine.
+
+``on_lid_segment`` (``/root/reference/disconnected_language_detector.py:
+1042-1134``) keeps one open segment per stream and, per event: opens on
+first label, extends monotonically on same label (``:1085-1089``), closes +
+reopens on a label switch (``:1092-1118``).  The batch twin is
+``operators/islands.py``; this module is the Structured Streaming twin via
+``applyInPandasWithState`` — state = the open island per key, emitted rows =
+closed islands.
+
+Timeout handling mirrors the reference's watchdog (``:1160-1169``): when a
+group sees no data before the processing-time timeout, the open island is
+flushed as closed.
+
+Note: events must arrive in order per key for exact parity with the batch
+operator (the reference sorts first, ``:928``); an upstream watermark +
+sort-within-batch gives that in practice.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("label", StringType()),
+        StructField("start", LongType()),
+        StructField("end", LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("label", StringType()),
+        StructField("island_start", LongType()),
+        StructField("island_end", LongType()),
+    ]
+)
+
+
+def merge_islands_stateful(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState function: emits closed islands per key.
+
+    Usage:
+        df.groupBy("key").applyInPandasWithState(
+            merge_islands_stateful, OUTPUT_SCHEMA, STATE_SCHEMA,
+            "append", GroupStateTimeout.ProcessingTimeTimeout)
+    """
+    k = key[0]
+    closed: list[tuple] = []
+
+    if state.hasTimedOut:
+        if state.exists:
+            label, start, end = state.get
+            closed.append((k, label, start, end))
+            state.remove()
+        yield pd.DataFrame(closed, columns=["key", "label", "island_start", "island_end"])
+        return
+
+    if state.exists:
+        cur_label, cur_start, cur_end = state.get
+    else:
+        cur_label, cur_start, cur_end = None, None, None
+
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["start", "end"])  # reference sorts first (:928)
+        for label, start, end in zip(pdf["label"], pdf["start"], pdf["end"]):
+            label, start, end = str(label), int(start), int(end)
+            if cur_label is None:
+                # case 1: first label → open (reference :1065-1080)
+                cur_label, cur_start, cur_end = label, start, end
+            elif label == cur_label:
+                # case 2: same label → extend monotonically (:1085-1089)
+                cur_end = max(cur_end, end)
+            else:
+                # case 3: switch → close current, open next (:1092-1118)
+                closed.append((k, cur_label, cur_start, cur_end))
+                cur_label, cur_start, cur_end = label, start, end
+
+    if cur_label is not None:
+        state.update((cur_label, cur_start, cur_end))
+        state.setTimeoutDuration(30_000)
+    yield pd.DataFrame(closed, columns=["key", "label", "island_start", "island_end"])

@@ -1,0 +1,66 @@
+"""Stateful streaming island merge: rate-limited micro-batches reproduce the
+reference's open/extend/switch behavior; closed islands match the batch op."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from language_identification_spark.streaming.stateful import (
+    OUTPUT_SCHEMA,
+    STATE_SCHEMA,
+    merge_islands_stateful,
+)
+
+
+def test_stateful_switch_machine(spark, tmp_path):
+    # events: en en | ar | en  → closed islands after stream drains: en, ar
+    # (the final en island stays open in state — matches the reference,
+    # which finalizes the open segment only at shutdown :1174-1193)
+    rows = [
+        ("f1", "en", 0, 10),
+        ("f1", "en", 10, 20),
+        ("f1", "ar", 20, 30),
+        ("f1", "en", 30, 40),
+    ]
+    src_dir = tmp_path / "events"
+    src_dir.mkdir()
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["key", "label", "start", "end"]).to_parquet(
+        src_dir / "p0.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema("key string, label string, start long, end long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = stream.groupBy("key").applyInPandasWithState(
+        merge_islands_stateful,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("islands_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r.label, r.island_start, r.island_end)
+        for r in spark.sql(
+            "select * from islands_out order by island_start"
+        ).collect()
+    ]
+    # the two switch-closed islands are deterministic; the final open island
+    # may additionally be flushed by the processing-time timeout (the
+    # reference's watchdog analog) depending on trigger timing
+    assert got[:2] == [("en", 0, 20), ("ar", 20, 30)]
+    assert got[2:] in ([], [("en", 30, 40)])
