@@ -411,6 +411,17 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.similarity import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(emb, threshold=0.85).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.similarity import ivf_topk
 
@@ -490,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": _q_simhash,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "cosine_dup_pairs": _q_cosine_dup_pairs,
         "quality_filter_full": _q_quality_filter,
         "langid_line_spans": _q_line_spans,
         "langid_documents": _q_langid,

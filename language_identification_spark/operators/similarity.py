@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 N_PLANES = 12
 _DIM_DEFAULT = 64
@@ -123,6 +123,86 @@ def ivf_topk(
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+# sign-LSH banding for near-dup pair mining: 16 planes = 4 bands x 4 rows.
+# For cos >= 0.9 the per-plane agreement prob is 1 - acos(0.9)/pi ~ 0.857,
+# so P(>=1 band collides) ~ 0.95 — candidates are then exactly verified.
+_DUP_PLANES = np.random.default_rng(424242).standard_normal((_DIM_DEFAULT, 16))
+_DUP_BANDS = 4
+_DUP_ROWS = 4
+
+
+def _dup_band_batch(vecs: pd.Series) -> pd.Series:
+    """Per vector: array of 4 band keys (band index packed with sign bits)."""
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+    bits = (mat @ _DUP_PLANES[: mat.shape[1]] > 0).astype(np.int64)
+    out = np.zeros((len(mat), _DUP_BANDS), dtype=np.int64)
+    for b in range(_DUP_BANDS):
+        key = np.int64(b) << np.int64(32)
+        for r in range(_DUP_ROWS):
+            key = key | (bits[:, b * _DUP_ROWS + r] << r)
+        out[:, b] = key
+    return pd.Series(list(out), index=vecs.index)
+
+
+dup_band_udf = pandas_udf(_dup_band_batch, ArrayType(LongType()))
+
+
+def cosine_dup_pairs(
+    df: DataFrame, threshold: float = 0.9,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= τ).
+
+    Candidates via sign-LSH banding (no O(n²) cross join — one shuffle on
+    short band keys), then exact cosine verification as a pure zip_with
+    expression.  The vectors themselves join only onto candidate pairs.
+    """
+    banded = df.select(
+        F.col(id_col), F.col(vec_col), dup_band_udf(F.col(vec_col)).alias("bands")
+    )
+    keys = banded.select(id_col, F.explode("bands").alias("band_key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    vecs = banded.select(F.col(id_col), F.col(vec_col))
+    joined = (
+        cand.join(
+            vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va"),
+            "id_a",
+        ).join(
+            vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb"),
+            "id_b",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
+    return (
+        joined.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

@@ -46,6 +46,23 @@ def test_ivf_recall_reasonable(emb):
     assert len(exact & approx) >= 4  # isotropic data: modest but real recall
 
 
+def test_cosine_dup_pairs(spark):
+    from language_identification_spark.operators.similarity import cosine_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((5, DIM)).astype(np.float32)
+    rows = []
+    for i in range(5):
+        rows.append((i * 2, [float(x) for x in base[i]]))
+        near = base[i] + rng.standard_normal(DIM).astype(np.float32) * 0.02
+        rows.append((i * 2 + 1, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cosine for r in cosine_dup_pairs(df, 0.9).collect()}
+    # every constructed near-dup pair found, nothing else
+    assert set(got) == {(i * 2, i * 2 + 1) for i in range(5)}
+    assert all(c >= 0.99 for c in got.values())
+
+
 def test_lsh_returns_subset_ranked(emb):
     df, mat = emb
     q = list(np.random.default_rng(5).standard_normal(DIM))
