@@ -1,0 +1,57 @@
+"""Physical-plan pins: the scale properties SURVEY §4 promises must hold in
+the actual Catalyst plan — predicate pushdown to the parquet scan, column
+pruning, exactly two Arrow UDF stages, zero shuffles in quality_filter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.datagen.corpus import generate_source_files
+from language_identification_spark.plans.pipeline import quality_filter
+
+
+@pytest.fixture(scope="module")
+def parquet_src(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plansrc") / "src.parquet")
+    pdf, _ = generate_source_files(200, seed=42)
+    spark.createDataFrame(pdf).write.parquet(d)
+    return d
+
+
+def _formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark, parquet_src):
+    df = spark.read.parquet(parquet_src)
+    out = quality_filter(df.filter(F.col("repo") == "org0/mega")).select(
+        "commit", "keep", "drop_reason"
+    )
+    plan = _formatted_plan(out)
+    assert "PushedFilters: [IsNotNull(repo), EqualTo(repo,org0/mega)]" in plan
+    # 'path' is not needed by the projection → pruned from the scan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "path" not in read_schema
+    assert "content" in read_schema
+
+
+def test_two_arrow_stages_zero_shuffles(spark, parquet_src):
+    out = quality_filter(spark.read.parquet(parquet_src))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 2
+    assert "Exchange" not in plan
+
+
+def test_analyze_input_clipped_jvm_side(spark, parquet_src):
+    # a 5 MB minified row must not cross the JVM→Python boundary whole:
+    # the plan substrings content to SAMPLE_BYTES before the first UDF
+    out = quality_filter(spark.read.parquet(parquet_src))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "substring" in plan and "4096" in plan
