@@ -113,13 +113,23 @@ analyze_udf = pandas_udf(_analyze_batch, _ANALYZE_SCHEMA)
 scrub_udf = pandas_udf(_scrub_batch, _SCRUB_SCHEMA)
 
 
-def quality_filter(df: DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> DataFrame:
+def quality_filter(
+    df: DataFrame,
+    cfg: FilterConfig = DEFAULT_CONFIG,
+    scrub_enabled: bool = True,
+) -> DataFrame:
     """(repo, path, commit, lang, content) → verdict + scrubbed output.
 
     Output schema: repo, path, commit, lang, lang_canon, lang_primary,
     detected_lang, confidence, ppl, keep:boolean, drop_reason:string,
     n_redactions:long, scrubbed_content:string (NULL when dropped),
     content_sha256, scrubbed_sha256.
+
+    ``scrub_enabled=False`` is the negative-fixture mode (SURVEY §5.2,
+    mirroring the reference's preserved failed-STT golden
+    ``fixed_module_transcript.json`` — empty transcripts, intact segment
+    structure): verdicts and lineage are produced unchanged, but
+    scrubbed_content/scrubbed_sha256 are NULL and n_redactions is 0.
     """
     df = (
         df.withColumn("lang_canon", canon_lang_col(F.col("lang")))
@@ -161,7 +171,11 @@ def quality_filter(df: DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> DataFra
     # definition of the trigger (it is the exact union of the patterns).
     from ..scrub.patterns import TRIGGER_REGEX
 
-    needs_scrub = F.col("keep") & F.col("content").rlike(TRIGGER_REGEX)
+    needs_scrub = (
+        F.col("keep") & F.col("content").rlike(TRIGGER_REGEX)
+        if scrub_enabled
+        else F.lit(False)
+    )
     scrub_input = F.when(needs_scrub, F.col("content")).otherwise(F.lit(""))
     df = df.withColumn("sc_raw", scrub_udf(scrub_input, needs_scrub))
     df = df.withColumn(
@@ -184,13 +198,15 @@ def quality_filter(df: DataFrame, cfg: FilterConfig = DEFAULT_CONFIG) -> DataFra
         F.round(F.col("nlp.ppl"), 6).alias("ppl"),
         "keep",
         "drop_reason",
-        F.when(F.col("keep"), F.col("sc.n_sub")).otherwise(F.lit(0)).alias(
-            "n_redactions"
+        F.when(F.lit(scrub_enabled) & F.col("keep"), F.col("sc.n_sub"))
+        .otherwise(F.lit(0))
+        .alias("n_redactions"),
+        F.when(F.lit(scrub_enabled) & F.col("keep"), F.col("sc.text")).alias(
+            "scrubbed_content"
         ),
-        F.when(F.col("keep"), F.col("sc.text")).alias("scrubbed_content"),
         F.sha2(F.encode(F.col("content"), "UTF-8"), 256).alias("content_sha256"),
         F.when(
-            F.col("keep"),
+            F.lit(scrub_enabled) & F.col("keep"),
             F.sha2(F.encode(F.col("sc.text"), "UTF-8"), 256),
         ).alias("scrubbed_sha256"),
     )

@@ -1,0 +1,33 @@
+"""Negative fixture (SURVEY §5.2): scrub disabled → verdicts and lineage
+unchanged, scrub outputs empty — mirrors the reference's preserved
+failed-STT run (`fixed_module_transcript.json`: empty transcripts, intact
+segments)."""
+
+from __future__ import annotations
+
+from language_identification_spark.datagen.corpus import generate_source_files
+from language_identification_spark.plans.pipeline import quality_filter
+
+
+def test_scrub_disabled_keeps_verdicts(spark):
+    pdf, _ = generate_source_files(300, seed=42)
+    sdf = spark.createDataFrame(pdf)
+    on = quality_filter(sdf).toPandas().set_index("commit").sort_index()
+    off = (
+        quality_filter(sdf, scrub_enabled=False)
+        .toPandas()
+        .set_index("commit")
+        .sort_index()
+    )
+    # segment structure intact: identical verdicts and reasons
+    assert (on["keep"] == off["keep"]).all()
+    assert (
+        on["drop_reason"].fillna("") == off["drop_reason"].fillna("")
+    ).all()
+    assert (on["detected_lang"] == off["detected_lang"]).all()
+    # outputs empty: no scrubbed text, zero redactions
+    assert off["scrubbed_content"].isna().all()
+    assert (off["n_redactions"] == 0).all()
+    assert off["scrubbed_sha256"].isna().all()
+    # the enabled run did scrub something (sanity of the contrast)
+    assert (on["n_redactions"] > 0).any()
