@@ -1,0 +1,75 @@
+"""Property checks from SURVEY §5.2: verdict monotonicity in thresholds,
+island merge insensitivity to input order, sub-word token count bounds."""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import functions as F
+
+from language_identification_spark.config import DEFAULT_CONFIG
+from language_identification_spark.datagen.corpus import generate_source_files
+from language_identification_spark.datagen.labeler import label_frame
+from language_identification_spark.functions.text import (
+    bpe_ish_token_count_col,
+    token_count_col,
+)
+from language_identification_spark.operators.islands import merge_islands
+
+
+def test_keep_monotone_in_thresholds():
+    """Tightening any threshold can only shrink the keep set."""
+    src, _ = generate_source_files(300, seed=5)
+    base = label_frame(src, DEFAULT_CONFIG)
+    stricter = replace(
+        DEFAULT_CONFIG,
+        min_chars=DEFAULT_CONFIG.min_chars * 2,
+        conf_tau=0.95,
+        ppl_tau=DEFAULT_CONFIG.ppl_tau - 1.0,
+    )
+    tight = label_frame(src, stricter)
+    base_keep = set(base[base.keep]["commit"])
+    tight_keep = set(tight[tight.keep]["commit"])
+    assert tight_keep <= base_keep
+
+
+def test_islands_order_insensitive(spark):
+    events = [
+        ("en", 0, 100), ("ar", 150, 200), ("en", 310, 400),
+        ("en", 400, 450), ("ar", 600, 700), ("en", 90, 120),
+    ]
+    results = []
+    for perm in (events, events[::-1], events[2:] + events[:2]):
+        df = spark.createDataFrame(
+            [(1, l, s, e) for l, s, e in perm],
+            "fid long, label string, start long, end long",
+        )
+        got = sorted(
+            (r.label, r.island_start, r.island_end)
+            for r in merge_islands(df, ["fid"], "label", "start", "end", 50).collect()
+        )
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+
+
+def test_bpe_ish_token_count(spark):
+    rows = [
+        ("hello world",),            # 2 alnum runs, 0 punct runs
+        ("f(x) = y + 1;",),          # alnum runs: f x y 1 → 4; punct runs: 5
+        ("",),
+        ("no_punct here",),          # '_' splits alnum runs: no punct here → 3; _ → 1
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = [
+        (r.n, r.w)
+        for r in df.select(
+            bpe_ish_token_count_col(F.col("t")).alias("n"),
+            token_count_col(F.col("t")).alias("w"),
+        ).collect()
+    ]
+    assert got[0] == (2, 2)
+    assert got[1] == (9, 5)  # 5 whitespace tokens: f(x) = y + 1;
+    assert got[2] == (0, 0)
+    assert got[3] == (4, 2)
+    # sub-word count always >= whitespace count
+    assert all(n >= w for n, w in got)
