@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..hashing import char_trigram_hashes_batch
 
@@ -45,6 +45,17 @@ def _chunked(fn, chunk: int = 1024):
     working set small and recycled (same rationale as pipeline._CHUNK)."""
 
     def wrapper(s: pd.Series) -> pd.Series:
+        if len(s) <= chunk:
+            return fn(s)
+        return pd.concat([fn(s.iloc[i : i + chunk]) for i in range(0, len(s), chunk)])
+
+    return wrapper
+
+
+def _chunked_df(fn, chunk: int = 1024):
+    """`_chunked` for pd.DataFrame-returning batch functions."""
+
+    def wrapper(s: pd.Series) -> pd.DataFrame:
         if len(s) <= chunk:
             return fn(s)
         return pd.concat([fn(s.iloc[i : i + chunk]) for i in range(0, len(s), chunk)])
@@ -75,7 +86,14 @@ def _minhash_batch(texts: pd.Series) -> pd.Series:
     """
     bts = [(t or "").lower().encode("utf-8") for t in texts]
     shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
-    n = len(texts)
+    return pd.Series(
+        list(_sigs_from_shingles(shingles, doc_ids, len(texts))), index=texts.index
+    )
+
+
+def _sigs_from_shingles(
+    shingles: np.ndarray, doc_ids: np.ndarray, n: int
+) -> np.ndarray:
     sigs = np.full((n, N_PERM), int(_MASK63), dtype=np.int64)
     if len(shingles):
         s = shingles.astype(np.uint64)
@@ -89,17 +107,108 @@ def _minhash_batch(texts: pd.Series) -> pd.Series:
             for j in range(N_PERM):
                 v = ((s * _PERM_A[j]) ^ _PERM_B[j]) & _MASK63
                 sigs[has, j] = np.minimum.reduceat(v, seg_starts).astype(np.int64)
-    return pd.Series(list(sigs), index=texts.index)
+    return sigs
+
+
+def _features_batch(texts: pd.Series) -> pd.DataFrame:
+    """MinHash signature AND distinct shingle set in ONE trigram pass.
+
+    ``jaccard_pairs`` needs both; computing them together halves the
+    (dominant) shingle-hashing work and lets the caller materialize one
+    small feature table instead of re-evaluating UDF lineage per join side.
+    """
+    bts = [(t or "").lower().encode("utf-8") for t in texts]
+    shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
+    n = len(texts)
+    sigs = _sigs_from_shingles(shingles, doc_ids, n)
+    sets: list[np.ndarray] = []
+    if len(shingles):
+        order = np.lexsort((shingles, doc_ids))
+        s, d = shingles[order], doc_ids[order]
+        bounds = np.searchsorted(d, np.arange(n + 1))
+        for i in range(n):
+            seg = s[bounds[i] : bounds[i + 1]]
+            sets.append(np.unique(seg))
+    else:
+        sets = [np.empty(0, dtype=np.int64)] * n
+    return pd.DataFrame({"sig": list(sigs), "sh": sets}, index=texts.index)
 
 
 minhash_udf = pandas_udf(_chunked(_minhash_batch), ArrayType(LongType()))
+# explicit StructType so the UDF can be defined without an active SparkContext
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("sig", ArrayType(LongType())),
+        StructField("sh", ArrayType(LongType())),
+    ]
+)
+features_udf = pandas_udf(_chunked_df(_features_batch), _FEATURES_SCHEMA)
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
 
 
+def minhash_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """``(id, sig array<long>, sh array<long>)`` — one UDF pass for both."""
+    f = features_udf(F.col(text_col))
+    return df.select(F.col(id_col), f.getField("sig").alias("sig"), f.getField("sh").alias("sh"))
+
+
 MAX_BUCKET = 64  # LSH bucket-size cap (skew guard)
+
+
+def _band_table(sigs: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Explode signatures into (id, band, bucket) with the skew cap applied.
+
+    The bucket key is the band's raw signature slice rendered as a string —
+    exact (no xxhash64 false-collisions) and reproducible in any SQL engine,
+    which is what lets the minhash oracle replicate banding byte-for-byte.
+    """
+    rows_per_band = N_PERM // LSH_BANDS
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig").getItem(b * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    from pyspark.sql import Window
+
+    bucket_size = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    return bands.withColumn("_bs", bucket_size).filter(
+        F.col("_bs") <= max_bucket
+    ).drop("_bs")
+
+
+def _pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(
@@ -117,60 +226,42 @@ def lsh_candidate_pairs(
     a dense cluster still pair up through their OTHER, more selective bands,
     and exact-duplicate clusters are the job of ``exact_dedup``, not LSH.
     """
-    rows_per_band = N_PERM // LSH_BANDS
     sigs = minhash_signatures(df, text_col, id_col)
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig").getItem(b * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    from pyspark.sql import Window
-
-    bucket_size = F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    bands = bands.withColumn("_bs", bucket_size).filter(
-        F.col("_bs") <= max_bucket
-    ).drop("_bs")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col(f"b.band"))
-            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    return _pairs_from_bands(_band_table(sigs, id_col, max_bucket), id_col)
 
 
 def jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """Exact char-3-shingle Jaccard over LSH candidate pairs.
 
-    Shingle sets are computed once (as a distinct-shingle array column) and
-    joined onto the candidate pairs — content itself never re-shuffles.
+    Signatures and distinct-shingle sets come out of ONE UDF pass over the
+    content, and that small feature table is materialized exactly once —
+    ``persist()`` by default, or a parquet staging table when
+    ``staging_path`` is given (the 100 TB path: features are ~100x smaller
+    than content, and a staged table survives executor loss without lineage
+    recompute).  The self-join and both verification joins then read the
+    materialized features; the UDF never re-evaluates and content never
+    shuffles.
     """
-    shingle_udf = pandas_udf(_chunked(_distinct_shingles_batch), ArrayType(LongType()))
-    sets = df.select(F.col(id_col), shingle_udf(F.col(text_col)).alias("sh"))
-    pairs = lsh_candidate_pairs(df, text_col, id_col)
+    feat = minhash_features(df, text_col, id_col)
+    if staging_path is not None:
+        feat.write.mode("overwrite").parquet(staging_path)
+        feat = df.sparkSession.read.parquet(staging_path)
+    else:
+        from pyspark import StorageLevel
+
+        feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+        feat.count()  # eager: one computation, visible to every branch below
+    pairs = _pairs_from_bands(
+        _band_table(feat.select(id_col, "sig"), id_col, max_bucket), id_col
+    )
+    sets = feat.select(id_col, "sh")
     joined = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -185,22 +276,6 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-
-
-def _distinct_shingles_batch(texts: pd.Series) -> pd.Series:
-    bts = [(t or "").lower().encode("utf-8") for t in texts]
-    shingles, doc_ids = char_trigram_hashes_batch(bts, SHINGLE_BUCKETS)
-    out = []
-    if len(shingles):
-        order = np.lexsort((shingles, doc_ids))
-        s, d = shingles[order], doc_ids[order]
-        bounds = np.searchsorted(d, np.arange(len(texts) + 1))
-        for i in range(len(texts)):
-            seg = s[bounds[i] : bounds[i + 1]]
-            out.append(np.unique(seg))
-    else:
-        out = [np.empty(0, dtype=np.int64)] * len(texts)
-    return pd.Series(out, index=texts.index)
 
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:

@@ -49,6 +49,27 @@ def test_two_arrow_stages_zero_shuffles(spark, parquet_src):
     assert "Exchange" not in plan
 
 
+def test_jaccard_pairs_single_udf_evaluation(spark, parquet_src):
+    # VERDICT r01 "what's wrong" #1: the self-join + two set joins must read
+    # ONE materialized feature table, not re-evaluate UDF lineage per side.
+    # In the formatted plan every ArrowEvalPython occurrence must be the SAME
+    # physical node (same id), referenced through InMemoryTableScan sites.
+    import re
+
+    from language_identification_spark.operators.dedup import jaccard_pairs
+
+    df = spark.read.parquet(parquet_src).selectExpr(
+        "cast(hash(repo, path) as long) as doc_id", "content as text"
+    )
+    plan = _formatted_plan(jaccard_pairs(df, "text", "doc_id", 0.5))
+    header = plan.split("\n\n")[0]
+    udf_ids = set(re.findall(r"ArrowEvalPython \((\d+)\)", header))
+    assert len(udf_ids) == 1, header
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", header))
+    assert len(scan_ids) == 1, header  # content is scanned by one node only
+    assert header.count("InMemoryTableScan") >= 4
+
+
 def test_analyze_input_clipped_jvm_side(spark, parquet_src):
     # a 5 MB minified row must not cross the JVM→Python boundary whole:
     # the plan substrings content to SAMPLE_BYTES before the first UDF
