@@ -25,7 +25,10 @@ from ..hashing import char_trigram_buckets_row, word_bigram_buckets_row
 from ..models import langid as _langid
 from ..models import perplexity as _ppl
 from ..models.registry import get_models
-from ..scrub.patterns import PATTERNS
+from ..scrub.patterns import PATTERN_FLAGS, PATTERNS
+
+# ASCII whitespace (the Java regex \s set) — the shared strip/too_short spec
+ASCII_WS = " \t\n\r\f\v"
 
 
 def _softmax_conf(mean_ll: np.ndarray) -> float:
@@ -41,7 +44,7 @@ def label_row(content: str | None, declared_lang: str | None,
     content = content if content is not None else ""
 
     # heuristics, scalar
-    if len(content.strip()) < cfg.min_chars:
+    if len(content.strip(ASCII_WS)) < cfg.min_chars:
         return _verdict("too_short")
     lines = content.split("\n")
     if max(len(l) for l in lines) > cfg.max_line_len:
@@ -83,7 +86,7 @@ def label_row(content: str | None, declared_lang: str | None,
     # keep → scrub
     scrubbed, n_sub = content, 0
     for _name, pat, repl in PATTERNS:
-        scrubbed, k = re.subn(pat, repl, scrubbed)
+        scrubbed, k = re.subn(pat, repl, scrubbed, flags=PATTERN_FLAGS)
         n_sub += k
     return {
         "keep": True,

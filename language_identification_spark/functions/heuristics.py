@@ -22,7 +22,13 @@ def with_heuristics(df: DataFrame, content: str = "content") -> DataFrame:
     lines = F.split(c, "\n")
     return (
         df.withColumn("n_chars", F.length(c).cast("long"))
-        .withColumn("n_chars_stripped", F.length(F.trim(c)).cast("long"))
+        # ASCII-whitespace strip (Java \s set), matching the labeler's
+        # strip(" \t\n\r\f\v") — F.trim would strip only 0x20 and diverge
+        # from the ground truth on \n/\t-padded boundary rows (ADVICE r01)
+        .withColumn(
+            "n_chars_stripped",
+            F.length(F.regexp_replace(c, r"^\s+|\s+$", "")).cast("long"),
+        )
         .withColumn("n_lines", F.size(lines).cast("long"))
         .withColumn(
             "max_line_len",

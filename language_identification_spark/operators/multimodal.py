@@ -107,7 +107,9 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        df.filter(F.col("kind") == "video")
+        # n_frames <= 0 would make sequence(0, -1, n) throw "Illegal sequence
+        # boundaries" at runtime and fail the whole job (ADVICE r01)
+        df.filter((F.col("kind") == "video") & (F.col("n_frames") > 0))
         .withColumn(
             "frame_idx",
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),

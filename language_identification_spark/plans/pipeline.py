@@ -105,7 +105,9 @@ def _analyze_batch(content: pd.Series, active: pd.Series) -> pd.DataFrame:
 def _scrub_batch(content: pd.Series, keep: pd.Series) -> pd.DataFrame:
     from ..scrub.scrubber import scrub_series
 
-    scrubbed, n_sub = scrub_series(content, keep)
+    # pretriggered: the JVM rlike trigger (exact union of the patterns)
+    # already gated every masked row — skip the redundant Python prefilter
+    scrubbed, n_sub = scrub_series(content, keep, pretriggered=True)
     return pd.DataFrame({"text": scrubbed, "n_sub": n_sub}, index=content.index)
 
 

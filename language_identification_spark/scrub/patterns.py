@@ -35,8 +35,9 @@ PATTERNS: tuple[tuple[str, str, str], ...] = (
     ),
     (
         "ipv4",
-        r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
-        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b",
+        # [0-9] (not \d) so the class is byte-identical in Python/Java/RE2
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
         "[REDACTED_IP]",
     ),
     (
@@ -54,12 +55,18 @@ PATTERNS: tuple[tuple[str, str, str], ...] = (
     ),
 )
 
+# Engine-neutral flag: Python compiles with re.ASCII so \b/\w/\s use the
+# ASCII tables — exactly java.util.regex defaults (the JVM trigger) and RE2
+# (the DuckDB oracle).  Without it, Python's Unicode-aware \b can match where
+# the JVM trigger does not, silently skipping rows from the scrub stage.
+PATTERN_FLAGS = re.ASCII | re.MULTILINE
+
 COMPILED: tuple[tuple[str, "re.Pattern[str]", str], ...] = tuple(
-    (name, re.compile(pat), repl) for name, pat, repl in PATTERNS
+    (name, re.compile(pat, PATTERN_FLAGS), repl) for name, pat, repl in PATTERNS
 )
 
 # union of all patterns — used as a JVM-side (Java regex) scrub trigger so
 # the Python scrub stage only ever sees rows that contain a candidate match.
-# Every construct used above ((?i:..), \b, classes, lazy quantifiers) parses
-# identically in java.util.regex and Python re.
+# Every construct used above ((?i:..), \b, [0-9] classes, lazy quantifiers)
+# parses identically in java.util.regex, Python re (ASCII mode), and RE2.
 TRIGGER_REGEX = "|".join(f"(?:{p})" for _n, p, _r in PATTERNS)

@@ -14,28 +14,43 @@ import re
 import numpy as np
 import pandas as pd
 
-from .patterns import COMPILED, PATTERNS
+from .patterns import COMPILED, PATTERN_FLAGS, PATTERNS
 
 # one cheap combined pass decides which rows need the 6 expensive
 # count+replace passes; in realistic corpora only a few % do.  The union of
 # the real patterns is exact, so the prefilter can never change results.
-_PREFILTER = re.compile("|".join(f"(?:{p})" for _n, p, _r in PATTERNS))
+_PREFILTER = re.compile(
+    "|".join(f"(?:{p})" for _n, p, _r in PATTERNS), PATTERN_FLAGS
+)
 
 
 def scrub_series(
-    content: pd.Series, mask: pd.Series | None = None
+    content: pd.Series,
+    mask: pd.Series | None = None,
+    pretriggered: bool = False,
 ) -> tuple[pd.Series, pd.Series]:
     """Returns ``(scrubbed, n_sub)`` aligned with ``content``.
 
     Rows where ``mask`` is False are passed through untouched with n_sub=0.
+    ``pretriggered=True`` means every masked row is already known to contain
+    a candidate match (the pipeline's JVM ``rlike`` trigger is the exact same
+    union), so the Python prefilter pass is skipped — it would be pure
+    redundant regex work on the hot path.
     """
     if mask is None:
         mask = pd.Series(True, index=content.index)
     active = content[mask.fillna(False) & content.notna()]
     out = content.copy()
     n_sub = pd.Series(np.zeros(len(content), dtype=np.int64), index=content.index)
-    if len(active):
-        active = active[active.str.contains(_PREFILTER, regex=True)]
+    if len(active) and not pretriggered:
+        # re.Pattern.search per row (C speed) — pandas str.contains warns on
+        # patterns with capture groups and is no faster
+        hit = np.fromiter(
+            (_PREFILTER.search(x) is not None for x in active),
+            dtype=bool,
+            count=len(active),
+        )
+        active = active[hit]
     if len(active):
         scrubbed = active
         counts = np.zeros(len(active), dtype=np.int64)

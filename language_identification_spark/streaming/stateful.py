@@ -12,9 +12,13 @@ Timeout handling mirrors the reference's watchdog (``:1160-1169``): when a
 group sees no data before the processing-time timeout, the open island is
 flushed as closed.
 
-Note: events must arrive in order per key for exact parity with the batch
-operator (the reference sorts first, ``:928``); an upstream watermark +
-sort-within-batch gives that in practice.
+Note: events must arrive in order per key, and ``max_gap`` must match, for
+exact parity with the batch operator (the reference sorts first, ``:928``);
+an upstream watermark + sort-within-batch gives the ordering in practice.
+The default instance uses ``max_gap=inf`` (the live machine's semantics —
+same-label runs never gap-split), which equals the batch operator only on
+gap-free streams; pass a finite ``max_gap`` to
+``make_merge_islands_stateful`` for full batch parity.
 """
 
 from __future__ import annotations
@@ -48,48 +52,69 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def merge_islands_stateful(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState function: emits closed islands per key.
+def make_merge_islands_stateful(max_gap: int | float = float("inf")):
+    """Build an applyInPandasWithState function that emits closed islands.
+
+    ``max_gap`` gives exact parity with the batch ``merge_islands`` operator:
+    a same-label event whose start exceeds the running end by more than
+    ``max_gap`` closes the island and opens a new one.  The default (inf)
+    matches the reference's LIVE ``on_lid_segment`` machine, which extends a
+    same-label run regardless of gap (``:1085-1089``) — gap splitting there
+    happens only in the offline merge (``:901-958``).
 
     Usage:
         df.groupBy("key").applyInPandasWithState(
-            merge_islands_stateful, OUTPUT_SCHEMA, STATE_SCHEMA,
+            make_merge_islands_stateful(max_gap), OUTPUT_SCHEMA, STATE_SCHEMA,
             "append", GroupStateTimeout.ProcessingTimeTimeout)
     """
-    k = key[0]
-    closed: list[tuple] = []
 
-    if state.hasTimedOut:
+    def merge_fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        closed: list[tuple] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                label, start, end = state.get
+                closed.append((k, label, start, end))
+                state.remove()
+            yield pd.DataFrame(
+                closed, columns=["key", "label", "island_start", "island_end"]
+            )
+            return
+
         if state.exists:
-            label, start, end = state.get
-            closed.append((k, label, start, end))
-            state.remove()
-        yield pd.DataFrame(closed, columns=["key", "label", "island_start", "island_end"])
-        return
+            cur_label, cur_start, cur_end = state.get
+        else:
+            cur_label, cur_start, cur_end = None, None, None
 
-    if state.exists:
-        cur_label, cur_start, cur_end = state.get
-    else:
-        cur_label, cur_start, cur_end = None, None, None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["start", "end"])  # reference sorts first (:928)
+            for label, start, end in zip(pdf["label"], pdf["start"], pdf["end"]):
+                label, start, end = str(label), int(start), int(end)
+                if cur_label is None:
+                    # case 1: first label → open (reference :1065-1080)
+                    cur_label, cur_start, cur_end = label, start, end
+                elif label == cur_label and start <= cur_end + max_gap:
+                    # case 2: same label within gap → extend monotonically
+                    # (:1085-1089; gap condition = batch twin's ``<=`` :935)
+                    cur_end = max(cur_end, end)
+                else:
+                    # case 3: switch or gap-split → close current, open next
+                    # (:1092-1118)
+                    closed.append((k, cur_label, cur_start, cur_end))
+                    cur_label, cur_start, cur_end = label, start, end
 
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["start", "end"])  # reference sorts first (:928)
-        for label, start, end in zip(pdf["label"], pdf["start"], pdf["end"]):
-            label, start, end = str(label), int(start), int(end)
-            if cur_label is None:
-                # case 1: first label → open (reference :1065-1080)
-                cur_label, cur_start, cur_end = label, start, end
-            elif label == cur_label:
-                # case 2: same label → extend monotonically (:1085-1089)
-                cur_end = max(cur_end, end)
-            else:
-                # case 3: switch → close current, open next (:1092-1118)
-                closed.append((k, cur_label, cur_start, cur_end))
-                cur_label, cur_start, cur_end = label, start, end
+        if cur_label is not None:
+            state.update((cur_label, cur_start, cur_end))
+            state.setTimeoutDuration(30_000)
+        yield pd.DataFrame(
+            closed, columns=["key", "label", "island_start", "island_end"]
+        )
 
-    if cur_label is not None:
-        state.update((cur_label, cur_start, cur_end))
-        state.setTimeoutDuration(30_000)
-    yield pd.DataFrame(closed, columns=["key", "label", "island_start", "island_end"])
+    return merge_fn
+
+
+# default instance: the reference's live switch machine (no gap splitting)
+merge_islands_stateful = make_merge_islands_stateful()

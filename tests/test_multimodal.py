@@ -21,6 +21,8 @@ def media(spark):
         (1, "audio", b"RIFF fake wav", None, None, 16000, None),
         (2, "video", b"fake mp4", 64, 64, None, 30),
         (3, "image", b"", 0, 0, None, None),
+        # zero-frame video: must not blow up sequence() (ADVICE r01)
+        (4, "video", b"empty mp4", 64, 64, None, 0),
     ]
     return spark.createDataFrame(
         rows,
@@ -31,7 +33,7 @@ def media(spark):
 
 def test_extract_features_schema_and_determinism(media):
     rows = {r.media_id: r for r in extract_features(media).collect()}
-    assert len(rows) == 4
+    assert len(rows) == 5
     for r in rows.values():
         assert len(r.feature) == FEATURE_DIM
         assert all(0.0 <= x <= 1.0 for x in r.feature)
@@ -43,6 +45,7 @@ def test_extract_features_schema_and_determinism(media):
 
 
 def test_frame_sample_plan(media):
+    # the n_frames=0 video row is silently excluded, not a runtime error
     frames = frame_sample_plan(media, every_n=10).collect()
     assert [f.frame_idx for f in frames] == [0, 10, 20]
     assert all(f.media_id == 2 for f in frames)

@@ -11,8 +11,58 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from language_identification_spark.streaming.stateful import (
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
+    make_merge_islands_stateful,
     merge_islands_stateful,
 )
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the merge function."""
+
+    hasTimedOut = False
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _run(fn, rows):
+    import pandas as pd
+
+    state = _FakeState()
+    pdf = pd.DataFrame(rows, columns=["label", "start", "end"])
+    out = list(fn(("k",), iter([pdf]), state))[0]
+    closed = [tuple(r[1:]) for r in out.itertuples(index=False)]
+    return closed, state._v
+
+
+def test_stateful_gap_split_matches_batch_semantics():
+    # same-label events with a gap > max_gap must close and reopen, exactly
+    # like merge_islands' gap condition (start > running_end + max_gap)
+    rows = [("en", 0, 10), ("en", 15, 20), ("en", 40, 50)]
+    closed, open_island = _run(make_merge_islands_stateful(max_gap=5), rows)
+    assert closed == [("en", 0, 20)]  # gap of exactly max_gap still merges
+    assert open_island == ("en", 40, 50)
+    # default instance (live machine, max_gap=inf): never gap-splits
+    closed, open_island = _run(merge_islands_stateful, rows)
+    assert closed == []
+    assert open_island == ("en", 0, 50)
 
 
 def test_stateful_switch_machine(spark, tmp_path):
