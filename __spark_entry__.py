@@ -384,6 +384,734 @@ FROM s ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# SQL-literal helpers for the model/LSH oracles: every deterministic model
+# constant (planes, centroids, probe lists) is embedded into the oracle SQL
+# as double literals (repr round-trips exactly), so DuckDB replicates the
+# exact bucketing/banding the Spark UDFs compute.
+# ---------------------------------------------------------------------------
+
+def _vec_sql(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x * x)))"
+
+
+def _sql_scrub() -> str:
+    """Chained regexp_replace oracle mirroring scrub/patterns.py exactly.
+
+    Each CTE applies one pattern in spec order, counting matches BEFORE
+    replacing (the scrubber's count+replace sequence).  Patterns are
+    engine-neutral (ASCII classes) so RE2 == Python re.ASCII == java regex.
+    """
+    from language_identification_spark.scrub.patterns import PATTERNS
+
+    sql = "WITH s0 AS (SELECT doc_id, text AS t FROM documents)"
+    carried: list[str] = []
+    prev = "s0"
+    for i, (_name, pat, repl) in enumerate(PATTERNS, 1):
+        p = pat.replace("'", "''")
+        # DuckDB standard strings are escape-free, so \1 backrefs pass as-is
+        r = repl.replace("'", "''")
+        keep = (", ".join(carried) + ", ") if carried else ""
+        sql += (
+            f", s{i} AS (SELECT doc_id, {keep}"
+            f"len(regexp_extract_all(t, '{p}')) AS c{i}, "
+            f"regexp_replace(t, '{p}', '{r}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"c{i}")
+        prev = f"s{i}"
+    total = " + ".join(carried)
+    return (
+        sql
+        + f" SELECT doc_id, CAST({total} AS BIGINT) AS n_redactions,"
+        f" sha256(t) AS scrubbed_sha256 FROM {prev}"
+    )
+
+
+def _sql_ivf_topk() -> str:
+    from language_identification_spark.operators.similarity import (
+        IVF_NPROBE,
+        _CENTROIDS,
+    )
+
+    q = np.asarray(_QUERY_VEC, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probes = np.argsort(-(_CENTROIDS @ qn))[:IVF_NPROBE].tolist()
+    cents = ", ".join(
+        f"({k}, {_vec_sql(_CENTROIDS[k])})" for k in range(len(_CENTROIDS))
+    )
+    qlit = _vec_sql(q)
+    qnorm = repr(float(np.linalg.norm(q)))
+    probe_list = ", ".join(str(int(p)) for p in probes)
+    # cell = argmax_k dot(v/||v||, c_k); dividing by the (positive) norm does
+    # not change the argmax, so the SQL skips it (zero vectors tie at 0 and
+    # resolve to k=0 on both sides via the k ASC tie-break)
+    return f"""
+WITH cents(k, cv) AS (VALUES {cents}),
+dots AS (
+  SELECT e.vec_id, c.k,
+         {_dot_sql("e.embedding::DOUBLE[]", "c.cv")} AS dot
+  FROM embeddings e CROSS JOIN cents c
+),
+cell AS (
+  SELECT vec_id, k AS cell FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, k ASC) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT e.vec_id,
+         round({_dot_sql("e.embedding::DOUBLE[]", qlit)}
+               / ({_norm_sql("e.embedding::DOUBLE[]")} * {qnorm}), 6) AS cos6
+  FROM embeddings e JOIN cell USING (vec_id)
+  WHERE cell IN ({probe_list})
+)
+SELECT vec_id, CAST(round(cos6 * 1000) AS BIGINT) AS cosine_milli
+FROM scored ORDER BY cos6 DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _sql_lsh_topk() -> str:
+    from language_identification_spark.operators.similarity import (
+        N_PLANES,
+        _PLANES,
+        _bucket_of,
+    )
+
+    q = np.asarray(_QUERY_VEC, dtype=np.float64)
+    qb = int(_bucket_of(q[None, :])[0])
+    buckets = {qb} | {qb ^ (1 << p) for p in range(N_PLANES)}
+    planes = ", ".join(
+        f"({p}, {_vec_sql(_PLANES[:, p])})" for p in range(N_PLANES)
+    )
+    qlit = _vec_sql(q)
+    qnorm = repr(float(np.linalg.norm(q)))
+    blist = ", ".join(str(b) for b in sorted(buckets))
+    return f"""
+WITH planes(p, pv) AS (VALUES {planes}),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         {_dot_sql("e.embedding::DOUBLE[]", "pl.pv")} AS pr
+  FROM embeddings e CROSS JOIN planes pl
+),
+bucket AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM proj GROUP BY vec_id
+),
+scored AS (
+  SELECT e.vec_id,
+         round({_dot_sql("e.embedding::DOUBLE[]", qlit)}
+               / ({_norm_sql("e.embedding::DOUBLE[]")} * {qnorm}), 6) AS cos6
+  FROM embeddings e JOIN bucket USING (vec_id)
+  WHERE bucket IN ({blist})
+)
+SELECT vec_id, CAST(round(cos6 * 1000) AS BIGINT) AS cosine_milli
+FROM scored ORDER BY cos6 DESC, vec_id ASC LIMIT 10
+"""
+
+
+_DUP_THRESHOLD = 0.5  # driver-visible near-dup τ: low enough that the
+# isotropic test embeddings actually produce pairs (τ=0.85 gave 0 rows at
+# sf0.01 — "verifies nothing", VERDICT r01)
+
+
+def _sql_cosine_dup_pairs() -> str:
+    from language_identification_spark.operators.similarity import (
+        _DUP_BANDS,
+        _DUP_PLANES,
+        _DUP_ROWS,
+    )
+
+    n_planes = _DUP_BANDS * _DUP_ROWS
+    planes = ", ".join(
+        f"({p}, {_vec_sql(_DUP_PLANES[:, p])})" for p in range(n_planes)
+    )
+    return f"""
+WITH planes(p, pv) AS (VALUES {planes}),
+bits AS (
+  SELECT e.vec_id, pl.p,
+         CASE WHEN {_dot_sql("e.embedding::DOUBLE[]", "pl.pv")} > 0
+              THEN 1::BIGINT ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes pl
+),
+keys AS (
+  SELECT vec_id,
+         (CAST(p // {_DUP_ROWS} AS BIGINT) << 32)
+         | CAST(sum(bit << (p % {_DUP_ROWS})) AS BIGINT) AS band_key
+  FROM bits GROUP BY vec_id, p // {_DUP_ROWS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         round({_dot_sql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")}
+               / ({_norm_sql("ea.embedding::DOUBLE[]")}
+                  * {_norm_sql("eb.embedding::DOUBLE[]")}), 6) AS cos6
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, CAST(round(cos6 * 1000) AS BIGINT) AS cosine_milli
+FROM verified WHERE cos6 >= {_DUP_THRESHOLD}
+"""
+
+
+def _sql_langid() -> str:
+    """Full langid re-scoring in pure SQL (DuckDB) — no model code shared.
+
+    Pipeline: hex-encode lowercased UTF-8 text (clipped to SAMPLE_BYTES) →
+    byte values → FNV-1a 64 byte-trigram hashes via HUGEINT wraparound
+    arithmetic → bucket join against the committed weights parquet
+    (tools/export_weights.py) → per-doc per-lang mean log-lik → argmax +
+    softmax confidence.  Verified byte-exact vs hashing.py on Unicode input.
+    """
+    from language_identification_spark.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        SAMPLE_BYTES,
+    )
+    from language_identification_spark.models.langid import (
+        N_BUCKETS,
+        SOFTMAX_SCALE,
+    )
+    from tools.export_weights import ASSET_PATH
+
+    m64 = "18446744073709551616"  # 2^64
+
+    def fnv_step(h: str, b: str) -> str:
+        return (
+            f"CAST((CAST(xor({h}, {b}) AS HUGEINT) * {FNV_PRIME})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH src AS (
+  SELECT doc_id, lang,
+         substr(hex(encode(lower(text))), 1, {2 * SAMPLE_BYTES}) AS hx
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i,
+         CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17 AS UBIGINT)
+           AS b
+  FROM src, unnest(generate_series(1, length(hx)//2)) AS z(i)
+),
+tri AS (
+  SELECT doc_id, b AS b1, lead(b, 1) OVER w AS b2, lead(b, 2) OVER w AS b3
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+h1 AS (SELECT doc_id, {fnv_step(f"{FNV_OFFSET}::UBIGINT", "b1")} AS h, b2, b3
+       FROM tri WHERE b3 IS NOT NULL),
+h2 AS (SELECT doc_id, {fnv_step("h", "b2")} AS h, b3 FROM h1),
+h3 AS (SELECT doc_id,
+              CAST({fnv_step("h", "b3")} % {N_BUCKETS} AS INTEGER) AS bucket
+       FROM h2),
+scores AS (
+  SELECT t.doc_id, w.lang_idx, w.lang, sum(w.logp) / count(*) AS mean_ll
+  FROM h3 t JOIN read_parquet('{ASSET_PATH}') w USING (bucket)
+  GROUP BY t.doc_id, w.lang_idx, w.lang
+),
+best AS (
+  SELECT doc_id, lang AS detected FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY mean_ll DESC, lang_idx ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+mx AS (SELECT doc_id, max(mean_ll) AS m FROM scores GROUP BY doc_id),
+conf AS (
+  SELECT s.doc_id,
+         1.0 / sum(exp({SOFTMAX_SCALE!r} * (s.mean_ll - mx.m))) AS conf
+  FROM scores s JOIN mx USING (doc_id) GROUP BY s.doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.detected, '') AS detected_lang,
+       CAST(round(coalesce(c.conf, 0.0) * 1000) AS BIGINT) AS confidence_milli
+FROM documents d
+LEFT JOIN best b USING (doc_id)
+LEFT JOIN conf c USING (doc_id)
+"""
+
+
+def _sql_simhash() -> str:
+    """SimHash oracle: FNV byte-trigram hashes (mod 2^31), the xorshift-mult
+    spread to 64 bits, count-weighted bit votes, and the 4x16-bit chunk keys
+    — integer-exact end to end, so the hash must match bit for bit."""
+    from language_identification_spark.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        SAMPLE_BYTES,
+    )
+    from language_identification_spark.operators.dedup import SHINGLE_BUCKETS
+
+    m64 = "18446744073709551616"  # 2^64
+    mix_mult = 0x2545F4914F6CDD1D
+
+    def fnv_step(h: str, b: str) -> str:
+        return (
+            f"CAST((CAST(xor({h}, {b}) AS HUGEINT) * {FNV_PRIME})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    ones = ",\n         ".join(
+        f"sum(cnt * CAST((m >> {k}) & 1 AS BIGINT)) AS o{k}" for k in range(64)
+    )
+    uval = "\n       + ".join(
+        f"(CASE WHEN 2 * o{k} > total THEN {1 << k}::HUGEINT ELSE 0 END)"
+        for k in range(64)
+    )
+    chunks = ",\n       ".join(
+        f"CAST((coalesce(s.uval, 0) >> {16 * c}) % 65536 AS BIGINT) AS chunk{c}"
+        for c in range(4)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, substr(hex(encode(lower(text))), 1, {2 * SAMPLE_BYTES}) AS hx
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i,
+         CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17 AS UBIGINT)
+           AS b
+  FROM src, unnest(generate_series(1, length(hx)//2)) AS z(i)
+),
+tri AS (
+  SELECT doc_id, b AS b1, lead(b, 1) OVER w AS b2, lead(b, 2) OVER w AS b3
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+h1 AS (SELECT doc_id, {fnv_step(f"{FNV_OFFSET}::UBIGINT", "b1")} AS h, b2, b3
+       FROM tri WHERE b3 IS NOT NULL),
+h2 AS (SELECT doc_id, {fnv_step("h", "b2")} AS h, b3 FROM h1),
+sh AS (SELECT doc_id, {fnv_step("h", "b3")} % {SHINGLE_BUCKETS} AS s FROM h2),
+mix1 AS (
+  SELECT doc_id,
+         CAST((CAST(xor(s, s >> 15) AS HUGEINT) * {mix_mult})
+              % {m64} AS UBIGINT) AS m1
+  FROM sh
+),
+cnts AS (
+  SELECT doc_id, xor(m1, m1 >> 32) AS m, count(*) AS cnt
+  FROM mix1 GROUP BY doc_id, xor(m1, m1 >> 32)
+),
+bits AS (
+  SELECT doc_id, sum(cnt) AS total,
+         {ones}
+  FROM cnts GROUP BY doc_id
+),
+val AS (
+  SELECT doc_id,
+       {uval} AS uval
+  FROM bits
+),
+sim AS (
+  SELECT doc_id, uval,
+         CAST(CASE WHEN uval >= {1 << 63}::HUGEINT
+                   THEN uval - {m64}::HUGEINT ELSE uval END AS BIGINT)
+           AS simhash
+  FROM val
+)
+SELECT d.doc_id,
+       coalesce(s.simhash, 0) AS simhash,
+       {chunks}
+FROM documents d LEFT JOIN sim s USING (doc_id)
+"""
+
+
+def _sql_line_spans() -> str:
+    """Majority language per doc from per-block (4-line) classification.
+
+    Blocks are contiguous and non-overlapping, so the sum of merged-island
+    durations per label equals the sum of labeled block lengths per label —
+    the oracle therefore scores blocks (same FNV + weights-join machinery as
+    the langid oracle) and aggregates block lengths directly; the winner and
+    its ``lines`` total are identical to the Spark islands+majority path.
+    """
+    from language_identification_spark.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        SAMPLE_BYTES,
+    )
+    from language_identification_spark.models.langid import N_BUCKETS
+    from language_identification_spark.operators.linespans import BLOCK_LINES
+    from tools.export_weights import ASSET_PATH
+
+    m64 = "18446744073709551616"
+    B = BLOCK_LINES
+
+    def fnv_step(h: str, b: str) -> str:
+        return (
+            f"CAST((CAST(xor({h}, {b}) AS HUGEINT) * {FNV_PRIME})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM documents
+),
+blocks AS (
+  SELECT doc_id, bi,
+         substr(hex(encode(lower(
+           array_to_string(lines[{B}*bi+1 : {B}*bi+{B}], chr(10))
+         ))), 1, {2 * SAMPLE_BYTES}) AS hx,
+         least({B}*(bi+1), len(lines)) - {B}*bi AS blen
+  FROM ls, unnest(generate_series(0, (len(lines)-1)//{B})) AS z(bi)
+),
+pos AS (
+  SELECT doc_id, bi, blen, i,
+         CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17 AS UBIGINT)
+           AS b
+  FROM blocks, unnest(generate_series(1, length(hx)//2)) AS z(i)
+),
+tri AS (
+  SELECT doc_id, bi, blen, b AS b1,
+         lead(b, 1) OVER w AS b2, lead(b, 2) OVER w AS b3
+  FROM pos WINDOW w AS (PARTITION BY doc_id, bi ORDER BY i)
+),
+h1 AS (SELECT doc_id, bi, blen,
+              {fnv_step(f"{FNV_OFFSET}::UBIGINT", "b1")} AS h, b2, b3
+       FROM tri WHERE b3 IS NOT NULL),
+h2 AS (SELECT doc_id, bi, blen, {fnv_step("h", "b2")} AS h, b3 FROM h1),
+h3 AS (SELECT doc_id, bi, blen,
+              CAST({fnv_step("h", "b3")} % {N_BUCKETS} AS INTEGER) AS bucket
+       FROM h2),
+scores AS (
+  SELECT t.doc_id, t.bi, t.blen, w.lang_idx, w.lang,
+         sum(w.logp) / count(*) AS mean_ll
+  FROM h3 t JOIN read_parquet('{ASSET_PATH}') w USING (bucket)
+  GROUP BY t.doc_id, t.bi, t.blen, w.lang_idx, w.lang
+),
+block_label AS (
+  SELECT doc_id, bi, blen, lang FROM (
+    SELECT doc_id, bi, blen, lang,
+           row_number() OVER (PARTITION BY doc_id, bi
+                              ORDER BY mean_ll DESC, lang_idx ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+per_label AS (
+  SELECT doc_id, lang, CAST(sum(blen) AS BIGINT) AS lines
+  FROM block_label GROUP BY doc_id, lang
+)
+SELECT doc_id, lang AS majority_lang, lines FROM (
+  SELECT doc_id, lang, lines,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY lines DESC, lang ASC) AS rn
+  FROM per_label
+) WHERE rn = 1
+"""
+
+
+def _sql_quality_filter() -> str:
+    """The FLAGSHIP oracle: the entire keep/drop + scrub pipeline re-derived
+    in pure SQL — heuristics, FNV char-trigram langid (weights join), softmax
+    confidence, FNV word-bigram perplexity, verdict tree, chained regex
+    scrub, sha256 invariants.  No model code shared with the pipeline; the
+    only shared artifacts are the spec constants and the committed weight
+    parquets (tools/export_weights.py)."""
+    from language_identification_spark.config import DEFAULT_CONFIG as CFG
+    from language_identification_spark.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        SAMPLE_BYTES,
+        WORD_BYTES,
+    )
+    from language_identification_spark.models.langid import (
+        N_BUCKETS as LID_BUCKETS,
+    )
+    from language_identification_spark.models.langid import SOFTMAX_SCALE
+    from language_identification_spark.models.perplexity import (
+        N_BUCKETS as PPL_BUCKETS,
+    )
+    from language_identification_spark.models.seed_corpora import SUPPORTED_LANGS
+    from language_identification_spark.scrub.patterns import PATTERNS
+    from tools.export_weights import ASSET_PATH, PPL_ASSET_PATH
+
+    m64 = "18446744073709551616"
+
+    def fnv_step(h: str, b: str) -> str:
+        return (
+            f"CAST((CAST(xor({h}, {b}) AS HUGEINT) * {FNV_PRIME})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    # 16-byte zero-padded word FNV as a nested chain over the byte list
+    whash = f"{FNV_OFFSET}::UBIGINT"
+    for k in range(1, WORD_BYTES + 1):
+        whash = fnv_step(whash, f"coalesce(lb[{k}], 0::UBIGINT)")
+
+    # chained scrub CTEs over ALL docs (kept-gating happens in the final
+    # projection; untriggered rows scrub to themselves with 0 counts)
+    scrub_sql = ""
+    carried: list[str] = []
+    prev = "src"
+    for i, (_name, pat, repl) in enumerate(PATTERNS, 1):
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        keep_cols = (", ".join(carried) + ", ") if carried else ""
+        src_col = "content" if prev == "src" else "t"
+        scrub_sql += (
+            f",\nsc{i} AS (SELECT doc_id, {keep_cols}"
+            f"len(regexp_extract_all({src_col}, '{p}')) AS c{i}, "
+            f"regexp_replace({src_col}, '{p}', '{r}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"c{i}")
+        prev = f"sc{i}"
+    scrub_total = " + ".join(carried)
+    supported = ", ".join(f"'{l}'" for l in SUPPORTED_LANGS)
+    gen_re = CFG.generated_regex.replace("'", "''")
+    ws = r"[ \t\n\r\f\v]"  # Java \s set, explicit for RE2
+
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         'src/' || source AS repo,
+         'docs/doc' || CAST(doc_id AS VARCHAR) || '.md' AS path,
+         sha256(CAST(doc_id AS VARCHAR)) AS commit,
+         lang, text AS content
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         string_split(replace(trim(lang), '_', '-'), '-') AS parts,
+         lang IS NULL OR trim(lang) = '' AS is_empty
+  FROM src
+),
+canon2 AS (
+  SELECT doc_id,
+         CASE WHEN is_empty THEN ''
+              WHEN len(parts) > 1 AND parts[2] != ''
+                THEN lower(parts[1]) || '-' || upper(parts[2])
+              ELSE lower(parts[1]) END AS lang_canon,
+         CASE WHEN NOT is_empty AND lower(parts[1]) IN ({supported})
+              THEN lower(parts[1]) ELSE '' END AS lang_primary
+  FROM canon
+),
+feat AS (
+  SELECT doc_id,
+         length(content) AS n_chars,
+         length(regexp_replace(content, '^{ws}+|{ws}+$', '', 'g'))
+           AS n_stripped,
+         string_split(content, chr(10)) AS lines
+  FROM src
+),
+cheap AS (
+  SELECT f.doc_id,
+         CASE
+           WHEN f.n_stripped < {CFG.min_chars} THEN 'too_short'
+           WHEN coalesce(list_max(list_transform(f.lines, x -> length(x))), 0)
+                > {CFG.max_line_len} THEN 'minified'
+           WHEN regexp_matches(s.content, '{gen_re}') THEN 'generated'
+           WHEN len(f.lines) >= {CFG.rep_min_lines}
+                AND len(list_distinct(f.lines)) * 1.0 / len(f.lines)
+                    < {CFG.rep_distinct_ratio} THEN 'repetition'
+           WHEN length(regexp_replace(s.content, '[^\\p{{L}}\\p{{N}}]', '', 'g'))
+                * 1.0 / greatest(f.n_chars, 1) < {CFG.min_alnum_ratio}
+                AND f.n_chars >= 64 THEN 'low_alnum'
+         END AS cheap_reason
+  FROM feat f JOIN src s USING (doc_id)
+),
+active AS (
+  SELECT s.doc_id,
+         substr(hex(encode(lower(substr(s.content, 1, {SAMPLE_BYTES})))),
+                1, {2 * SAMPLE_BYTES}) AS hx
+  FROM src s JOIN cheap USING (doc_id)
+  WHERE cheap_reason IS NULL AND s.content IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, i,
+         CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17 AS UBIGINT)
+           AS b
+  FROM active, unnest(generate_series(1, length(hx)//2)) AS z(i)
+),
+tri AS (
+  SELECT doc_id, b AS b1, lead(b, 1) OVER w AS b2, lead(b, 2) OVER w AS b3
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+ch1 AS (SELECT doc_id, {fnv_step(f"{FNV_OFFSET}::UBIGINT", "b1")} AS h, b2, b3
+        FROM tri WHERE b3 IS NOT NULL),
+ch2 AS (SELECT doc_id, {fnv_step("h", "b2")} AS h, b3 FROM ch1),
+ch3 AS (SELECT doc_id,
+               CAST({fnv_step("h", "b3")} % {LID_BUCKETS} AS INTEGER) AS bucket
+        FROM ch2),
+cscores AS (
+  SELECT t.doc_id, w.lang_idx, w.lang, sum(w.logp) / count(*) AS mean_ll
+  FROM ch3 t JOIN read_parquet('{ASSET_PATH}') w USING (bucket)
+  GROUP BY t.doc_id, w.lang_idx, w.lang
+),
+det AS (
+  SELECT doc_id, lang AS detected, lang_idx, mean_ll AS best_ll FROM (
+    SELECT doc_id, lang, lang_idx, mean_ll,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY mean_ll DESC, lang_idx ASC) AS rn
+    FROM cscores
+  ) WHERE rn = 1
+),
+mx AS (SELECT doc_id, max(mean_ll) AS m FROM cscores GROUP BY doc_id),
+conf AS (
+  SELECT s.doc_id,
+         1.0 / sum(exp({SOFTMAX_SCALE!r} * (s.mean_ll - mx.m))) AS conf
+  FROM cscores s JOIN mx USING (doc_id) GROUP BY s.doc_id
+),
+wpos AS (
+  SELECT doc_id, i, b,
+         b IN (32, 9, 10, 13, 11, 12) AS is_ws
+  FROM pos
+),
+wstart AS (
+  SELECT doc_id, i, b, is_ws,
+         CASE WHEN NOT is_ws AND coalesce(lag(is_ws) OVER w, TRUE)
+              THEN 1 ELSE 0 END AS st
+  FROM wpos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+wid AS (
+  SELECT doc_id, i, b,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS wid
+  FROM wstart WHERE NOT is_ws OR st = 1
+),
+wbytes AS (
+  SELECT doc_id, wid, i,
+         CASE WHEN b BETWEEN 48 AND 57 THEN 48::UBIGINT ELSE b END AS fb,
+         row_number() OVER (PARTITION BY doc_id, wid ORDER BY i) AS rn
+  FROM (SELECT doc_id, i, b, wid FROM wid) q
+),
+words AS (
+  SELECT doc_id, wid, list(fb ORDER BY i) AS lb
+  FROM wbytes WHERE rn <= {WORD_BYTES}
+  GROUP BY doc_id, wid
+),
+whash AS (
+  SELECT doc_id, wid, {whash} AS wh FROM words
+),
+bigrams AS (
+  SELECT doc_id, wh AS w1, lead(wh) OVER (PARTITION BY doc_id ORDER BY wid)
+           AS w2
+  FROM whash
+),
+pbuckets AS (
+  SELECT doc_id,
+         CAST(CAST((CAST(xor(
+                CAST((CAST(w1 AS HUGEINT) * {FNV_PRIME}) % {m64} AS UBIGINT),
+                w2) AS HUGEINT) * {FNV_PRIME}) % {m64} AS UBIGINT)
+              % {PPL_BUCKETS} AS INTEGER) AS bucket
+  FROM bigrams WHERE w2 IS NOT NULL
+),
+ppl AS (
+  SELECT p.doc_id, -(sum(w.logp) / count(*)) AS ppl
+  FROM pbuckets p
+  JOIN det d USING (doc_id)
+  JOIN read_parquet('{PPL_ASSET_PATH}') w
+    ON w.bucket = p.bucket AND w.lang_idx = d.lang_idx
+  GROUP BY p.doc_id
+){scrub_sql},
+scrubbed AS (
+  SELECT doc_id, CAST({scrub_total} AS BIGINT) AS n_sub, t FROM {prev}
+),
+verdict AS (
+  SELECT s.doc_id,
+         coalesce(c.cheap_reason,
+           CASE WHEN coalesce(cf.conf, 0.0) < {CFG.conf_tau!r}
+                     OR coalesce(d.best_ll, -100.0) < {CFG.ll_floor!r}
+                THEN 'langid_low_confidence' END,
+           CASE WHEN cn.lang_primary != ''
+                     AND coalesce(d.detected, '') != cn.lang_primary
+                THEN 'langid_mismatch' END,
+           CASE WHEN coalesce(p.ppl, 0.0) > {CFG.ppl_tau!r}
+                THEN 'perplexity' END) AS drop_reason,
+         coalesce(d.detected, '') AS detected_lang,
+         round(coalesce(cf.conf, 0.0), 6) AS confidence,
+         round(coalesce(p.ppl, 0.0), 6) AS ppl
+  FROM src s
+  JOIN cheap c USING (doc_id)
+  JOIN canon2 cn USING (doc_id)
+  LEFT JOIN det d USING (doc_id)
+  LEFT JOIN conf cf USING (doc_id)
+  LEFT JOIN ppl p USING (doc_id)
+)
+SELECT repo, path, commit, lang, lang_canon, lang_primary, detected_lang,
+       confidence, ppl, keep, drop_reason,
+       CASE WHEN keep THEN n_sub ELSE 0 END AS n_redactions,
+       CASE WHEN keep THEN t END AS scrubbed_content,
+       sha256(content) AS content_sha256,
+       CASE WHEN keep THEN sha256(t) END AS scrubbed_sha256
+FROM (
+  SELECT s.repo, s.path, s.commit, s.lang, cn.lang_canon, cn.lang_primary,
+         v.detected_lang, v.confidence, v.ppl,
+         v.drop_reason IS NULL AS keep, v.drop_reason,
+         sb.n_sub, sb.t, s.content
+  FROM src s
+  JOIN canon2 cn USING (doc_id)
+  JOIN verdict v USING (doc_id)
+  JOIN scrubbed sb USING (doc_id)
+)
+"""
+
+
+def _q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-3-gram Jaccard verification on a deterministic pair list
+    (every doc_id divisible by 5 vs its successor) — pure Catalyst, green
+    oracle for the n-gram-Jaccard verification stage."""
+    from language_identification_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    cand = a.filter(F.col("id_a") % 5 == 0).join(
+        b, F.col("id_b") == F.col("id_a") + 1
+    )
+    return exact_jaccard_pairs(cand, "ta", "tb").select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round(F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"),
+    )
+
+
+_SQL_JACCARD_VERIFY = """
+WITH a AS (
+  SELECT doc_id AS id_a, lower(text) AS ta FROM documents WHERE doc_id % 5 = 0
+), b AS (
+  SELECT doc_id AS id_b, lower(text) AS tb FROM documents
+), g AS (
+  SELECT id_a, id_b,
+    CASE WHEN length(ta) >= 3
+      THEN list_distinct(list_transform(generate_series(1, length(ta) - 2),
+                                        i -> substr(ta, i, 3)))
+      ELSE [] END AS sa,
+    CASE WHEN length(tb) >= 3
+      THEN list_distinct(list_transform(generate_series(1, length(tb) - 2),
+                                        i -> substr(tb, i, 3)))
+      ELSE [] END AS sb
+  FROM a JOIN b ON id_b = id_a + 1
+), j AS (
+  SELECT id_a, id_b,
+    CASE WHEN len(list_distinct(list_concat(sa, sb))) > 0
+      THEN round(len(list_intersect(sa, sb)) * 1.0
+                 / len(list_distinct(list_concat(sa, sb))), 6)
+      ELSE 1.0 END AS jac
+  FROM g
+)
+SELECT id_a, id_b, CAST(round(jac * 1000) AS BIGINT) AS jaccard_milli FROM j
+"""
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.dedup import jaccard_pairs
 
@@ -415,7 +1143,7 @@ def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.similarity import cosine_dup_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_dup_pairs(emb, threshold=0.85).select(
+    return cosine_dup_pairs(emb, threshold=_DUP_THRESHOLD).select(
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),
         F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
@@ -496,16 +1224,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_resume": _q_anti_join_resume,
         "quality_scores": _q_quality_scores,
         "cosine_topk": _q_cosine_topk,
-        # rows-only (model/LSH stages — not ANSI-SQL-expressible)
-        "minhash_jaccard_pairs": _q_minhash_pairs,
-        "simhash_buckets": _q_simhash,
+        "jaccard_verify_pairs": _q_jaccard_verify,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "scrub_documents": _q_scrub,
+        "langid_documents": _q_langid,
+        # rows-only (UDF-hashed signatures / full-model stages; the hashed
+        # MinHash signature spec is not reasonably ANSI-SQL-expressible —
+        # its exact-verification twin jaccard_verify_pairs IS oracled)
+        "minhash_jaccard_pairs": _q_minhash_pairs,
+        "simhash_buckets": _q_simhash,
         "quality_filter_full": _q_quality_filter,
         "langid_line_spans": _q_line_spans,
-        "langid_documents": _q_langid,
-        "scrub_documents": _q_scrub,
     }
 
 
@@ -522,4 +1253,13 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_resume": _SQL_ANTI_JOIN_RESUME,
         "quality_scores": _SQL_QUALITY_SCORES,
         "cosine_topk": _sql_cosine_topk(),
+        "jaccard_verify_pairs": _SQL_JACCARD_VERIFY,
+        "lsh_topk": _sql_lsh_topk(),
+        "ivf_topk": _sql_ivf_topk(),
+        "cosine_dup_pairs": _sql_cosine_dup_pairs(),
+        "scrub_documents": _sql_scrub(),
+        "langid_documents": _sql_langid(),
+        "simhash_buckets": _sql_simhash(),
+        "langid_line_spans": _sql_line_spans(),
+        "quality_filter_full": _sql_quality_filter(),
     }

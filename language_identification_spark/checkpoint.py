@@ -9,23 +9,40 @@ metrics".
   (FIXTURES.md F1); keying by repo would hot-spot one bucket, hashing
   (repo, path) spreads it uniformly.  The skew test asserts the post-salt
   max/median bucket ratio.
+- **Single staging pass**: the source is scanned ONCE and written to a
+  bucket-partitioned staging table; every per-bucket read then prunes to its
+  partition at the source (``PartitionFilters`` in the scan, pinned by a
+  plan test).  The previous design filtered the raw source per bucket —
+  xxhash64 can't push down, so at 10^12-file scale that was n_buckets full
+  scans of the input (VERDICT r01 "what's wrong" #2).
 - **Checkpointing**: one snapshot commit per completed bucket (TableIO's
-  atomic manifest swap).  Resume lists committed bucket ids and processes
-  only the rest — the anti-join of SURVEY.md §2.6, done driver-side on
-  bucket ids (thousands at most), never on row data.
+  atomic manifest swap).  A bucket is DONE only when its **metrics** row is
+  committed — metrics commit last, so a crash between the results commit and
+  the metrics commit leaves an orphan results snapshot that resume prunes
+  and reprocesses (ADVICE r01: deriving done-ness from results lost the
+  bucket's lineage forever).
 - **Lineage + metrics**: one row per bucket: rows in/kept, per-reason drop
   counts, redaction total, wall ms.  Mirrors the reference's raw-events /
   merged-segments audit split (``disconnected_language_detector.py:995-996``,
   counts at ``:1204,:1226``).
+- **Timeout watchdog (W6)**: ``bucket_timeout_sec`` bounds each bucket's
+  wall clock; on expiry the bucket's Spark job group is cancelled and the
+  runner raises ``BucketTimeout`` — the batch analog of the reference's
+  detection-phase watchdog (``disconnected_language_detector.py:1160-1169``).
+  Cluster-level stragglers are additionally covered by the speculation/
+  reaper confs in ``session.py``.
 
 Scale note: each bucket is a full parallel Spark job over ~1/n_buckets of
-the input; n_buckets trades checkpoint granularity against job-submit
+the staged input; n_buckets trades checkpoint granularity against job-submit
 overhead.  At 10^12 files one would use a few thousand buckets so a restart
-loses <0.1% of work.
+loses <0.1% of work; the staging table costs one extra write+read of the
+input but replaces n_buckets full scans.
 """
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 from collections.abc import Callable
 
@@ -35,8 +52,44 @@ from pyspark.sql import functions as F
 from .sources.tableio import ParquetTableIO
 
 
+class BucketTimeout(RuntimeError):
+    """A bucket exceeded ``bucket_timeout_sec`` and its jobs were cancelled."""
+
+
 def bucket_col(n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets))
+
+
+def stage_source(
+    spark: SparkSession, src: DataFrame, staging_dir: str, n_buckets: int
+) -> DataFrame:
+    """ONE pass over the source writing a bucket-partitioned staging table.
+
+    Idempotent: an existing complete staging table (``_SUCCESS`` marker) is
+    reused on resume, so a crashed run never re-scans the source either.
+    """
+    if not os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        (
+            src.withColumn("_bucket", bucket_col(n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(staging_dir)
+        )
+    return spark.read.parquet(staging_dir)
+
+
+def _watchdog(spark: SparkSession, group: str, timeout_sec: float):
+    """Arm a timer that cancels ``group``'s jobs after ``timeout_sec``."""
+    fired = threading.Event()
+
+    def cancel():
+        fired.set()
+        spark.sparkContext.cancelJobGroup(group)
+
+    t = threading.Timer(timeout_sec, cancel)
+    t.daemon = True
+    t.start()
+    return t, fired
 
 
 def run_checkpointed(
@@ -46,24 +99,58 @@ def run_checkpointed(
     stage_fn: Callable[[DataFrame], DataFrame],
     n_buckets: int = 8,
     fail_after: int | None = None,
+    fail_between: int | None = None,
+    bucket_timeout_sec: float | None = None,
 ) -> DataFrame:
     """Run ``stage_fn`` bucket by bucket with snapshot commits.
 
-    ``fail_after=k`` injects a crash after k committed buckets (test hook,
-    FIXTURES.md F5).  Returns the union of all committed results.
+    ``fail_after=k`` injects a crash after k fully committed buckets;
+    ``fail_between=k`` crashes the k-th bucket INSIDE the commit window —
+    after its results snapshot, before its metrics row (the half-commit
+    state resume must prune, ADVICE r01).  Returns the union of all
+    committed results.
     """
     results = ParquetTableIO(f"{out_root}/results")
     metrics = ParquetTableIO(f"{out_root}/metrics")
 
-    done = {m["bucket"] for m in results.committed_meta()}
-    src_b = src.withColumn("_bucket", bucket_col(n_buckets))
+    # done-ness comes from METRICS (committed last); results snapshots for
+    # buckets missing their metrics row are half-commits from a crash in the
+    # window between the two appends — prune them so the rerun is clean
+    done = {m["bucket"] for m in metrics.committed_meta()}
+    orphans = [
+        s for s in results.snapshots() if s["meta"].get("bucket") not in done
+    ]
+    if orphans:
+        results.prune(lambda s: s["meta"].get("bucket") in done)
+
+    staged = stage_source(spark, src, f"{out_root}/staging", n_buckets)
     processed = 0
     for b in range(n_buckets):
         if b in done:
             continue
         t0 = time.monotonic()
-        part = src_b.filter(F.col("_bucket") == b).drop("_bucket")
-        snap = results.append(stage_fn(part), {"bucket": b})
+        part = staged.filter(F.col("_bucket") == b).drop("_bucket")
+        group = f"bucket-{b}"
+        timer = fired = None
+        if bucket_timeout_sec is not None:
+            spark.sparkContext.setJobGroup(group, f"bucket {b}", True)
+            timer, fired = _watchdog(spark, group, bucket_timeout_sec)
+        try:
+            snap = results.append(stage_fn(part), {"bucket": b})
+        except Exception as e:  # noqa: BLE001
+            if fired is not None and fired.is_set():
+                raise BucketTimeout(
+                    f"bucket {b} exceeded {bucket_timeout_sec}s wall clock"
+                ) from e
+            raise
+        finally:
+            if timer is not None:
+                timer.cancel()
+                spark.sparkContext.setJobGroup("", "")
+        if fail_between is not None and processed + 1 >= fail_between:
+            raise RuntimeError(
+                f"injected failure inside commit window of bucket {b}"
+            )
         wall_ms = int((time.monotonic() - t0) * 1000)
         # metrics come from the WRITTEN snapshot — a cheap column-pruned
         # parquet scan, never a recompute of the UDF stages

@@ -59,11 +59,18 @@ class LangIdModel:
         has = counts > 0
         mean_ll_mat = np.full((n, L), -100.0)
         if len(buckets):
-            w = self.logp[buckets]  # (n_tri, L) float32
+            # accumulate in float64 per language: (a) sums agree with the
+            # float64-summing independent implementations (labeler, DuckDB
+            # oracle) to ~1e-12 instead of float32's ~1e-5 — required for
+            # milli-rounded cross-engine hash equality; (b) per-lang passes
+            # keep the peak gather buffer at n_tri*8 bytes instead of
+            # n_tri*L*4 in one slab (smaller recycled arena on this host)
+            logp64 = self.logp.astype(np.float64)
             idx = np.minimum(bounds[:-1], len(buckets) - 1)
-            sums = np.add.reduceat(w, idx, axis=0).astype(np.float64)
-            # reduceat yields w[idx] for empty segments; 'has' masks those out
-            mean_ll_mat[has] = sums[has] / counts[has, None]
+            for j in range(L):
+                sums_j = np.add.reduceat(logp64[buckets, j], idx)
+                # reduceat yields w[idx] for empty segments; 'has' masks those
+                mean_ll_mat[has, j] = sums_j[has] / counts[has]
         label = np.where(has, mean_ll_mat.argmax(axis=1), -1).astype(np.int32)
         # stable softmax over scaled mean log-likelihoods
         z = SOFTMAX_SCALE * mean_ll_mat

@@ -49,10 +49,14 @@ class BigramLM:
         has = counts > 0
         mean_ll = np.zeros((n, L), dtype=np.float64)
         if len(buckets):
-            w = self.logp[buckets]  # (n_bigram, L) float32
+            # float64 per-lang accumulation: agrees with the float64-summing
+            # independent scorers (labeler, DuckDB oracle) to ~1e-12, and
+            # keeps the peak gather buffer to n_bigram*8 bytes (see langid)
+            logp64 = self.logp.astype(np.float64)
             idx = np.minimum(bounds[:-1], len(buckets) - 1)
-            sums = np.add.reduceat(w, idx, axis=0).astype(np.float64)
-            mean_ll[has] = sums[has] / counts[has, None]
+            for j in range(L):
+                sums_j = np.add.reduceat(logp64[buckets, j], idx)
+                mean_ll[has, j] = sums_j[has] / counts[has]
         idx = np.asarray(lang_idx, dtype=np.int64)
         picked = np.where(
             idx >= 0,

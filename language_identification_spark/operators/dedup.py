@@ -278,6 +278,43 @@ def jaccard_pairs(
     )
 
 
+def char_ngram_set_expr(text_col: F.Column, n: int = 3) -> F.Column:
+    """Distinct char n-grams of lowercased text as a pure Catalyst expression
+    (array<string>) — whole-stage codegen, no UDF, no hashing.
+
+    The exact-verification twin of the hashed-shingle path: hashing trades a
+    vanishing collision probability for speed; this expression is collision-
+    free and ANSI-SQL-mirrorable, which is what the DuckDB oracle needs.
+    """
+    t = F.lower(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+        lambda i: F.substring(t, i, n),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(
+        F.when(F.length(t) >= n, grams).otherwise(empty)
+    )
+
+
+def exact_jaccard_pairs(
+    pairs: DataFrame, text_a: str, text_b: str, n: int = 3
+) -> DataFrame:
+    """Exact char-n-gram Jaccard for pre-identified candidate pairs.
+
+    ``pairs`` carries both texts; output adds ``jaccard`` (double).  Pure
+    expressions end-to-end — at scale this is the verification stage applied
+    AFTER LSH candidate generation, so it only ever sees candidate pairs,
+    never the n² cross product.
+    """
+    sa = char_ngram_set_expr(F.col(text_a), n)
+    sb = char_ngram_set_expr(F.col(text_b), n)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return pairs.withColumn("jaccard", F.round(jac, 6))
+
+
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over char-3-shingle hashes (count-weighted)."""
     bts = [(t or "").lower().encode("utf-8") for t in texts]

@@ -37,6 +37,16 @@ def get_spark(app: str = "language_identification_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
+        # W6 straggler policy (reference watchdog analog, SURVEY §2.4):
+        # speculative re-launch of slow tasks (active on multi-executor
+        # clusters; inert in local mode) and the task reaper so cancelled
+        # tasks — e.g. a bucket killed by the runner's wall-clock watchdog
+        # (checkpoint.BucketTimeout) — cannot linger as zombies
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
+        .config("spark.task.reaper.enabled", "true")
+        .config("spark.task.reaper.killTimeout", "60s")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.python.worker.reuse", "true")
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "536870912")

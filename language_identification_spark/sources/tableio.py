@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -65,3 +66,19 @@ class ParquetTableIO:
 
     def committed_meta(self) -> list[dict]:
         return [s["meta"] for s in self.snapshots()]
+
+    def prune(self, keep: "Callable[[dict], bool]") -> int:
+        """Atomically drop snapshots failing ``keep`` from the manifest.
+
+        The data dirs become orphans (invisible to readers) — the same shape
+        as Iceberg snapshot expiry.  Returns the number of dropped snapshots.
+        """
+        snaps = self.snapshots()
+        kept = [s for s in snaps if keep(s)]
+        if len(kept) == len(snaps):
+            return 0
+        tmp = self._manifest_path + f".tmp-prune-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshots": kept}, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+        return len(snaps) - len(kept)

@@ -73,6 +73,70 @@ def test_lineage_metrics_content(spark, src, tmp_path):
     assert out.count() == src.count()
 
 
+def test_crash_inside_commit_window_reprocesses_bucket(spark, src, tmp_path):
+    # ADVICE r01: a crash between the results commit and the metrics commit
+    # must NOT lose the bucket's metrics forever.  Done-ness derives from
+    # metrics; the orphan results snapshot is pruned and the bucket reruns.
+    root = str(tmp_path / "window")
+    with pytest.raises(RuntimeError, match="inside commit window"):
+        run_checkpointed(
+            spark, src, root, quality_filter, N_BUCKETS, fail_between=2
+        )
+    from language_identification_spark.sources.tableio import ParquetTableIO
+
+    res = ParquetTableIO(f"{root}/results")
+    met = ParquetTableIO(f"{root}/metrics")
+    assert len(res.snapshots()) == 2  # one full commit + one orphan
+    assert len(met.snapshots()) == 1
+    out = run_checkpointed(spark, src, root, quality_filter, N_BUCKETS)
+    # every bucket has exactly one results snapshot and one metrics row
+    assert sorted(s["meta"]["bucket"] for s in res.snapshots()) == list(
+        range(N_BUCKETS)
+    )
+    assert sorted(s["meta"]["bucket"] for s in met.snapshots()) == list(
+        range(N_BUCKETS)
+    )
+    assert out.count() == src.count()
+
+
+def test_bucket_reads_prune_at_source(spark, src, tmp_path):
+    # VERDICT r01 "what's wrong" #2: per-bucket reads must carry a partition
+    # filter on the staged table, not re-scan + re-hash the raw source.
+    from language_identification_spark.checkpoint import stage_source
+
+    staged = stage_source(spark, src, str(tmp_path / "staging"), N_BUCKETS)
+    part = staged.filter(F.col("_bucket") == 2).drop("_bucket")
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_bucket" in plan, plan
+    assert "(_bucket" in plan.split("PartitionFilters", 1)[1][:120]
+    # pruning is real: only 1/N of the files are read
+    n_rows = part.count()
+    assert 0 < n_rows < src.count()
+
+
+def test_bucket_timeout_watchdog(spark, src, tmp_path):
+    # W6: a stuck bucket is cancelled and surfaced as BucketTimeout
+    import time as _time
+
+    from language_identification_spark.checkpoint import BucketTimeout
+
+    def slow_stage(df):
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def sleepy(s):
+            _time.sleep(20)
+            return s
+
+        return df.select(sleepy(F.col("repo")).alias("repo"))
+
+    with pytest.raises(BucketTimeout, match="exceeded"):
+        run_checkpointed(
+            spark, src, str(tmp_path / "wd"), slow_stage, 2,
+            bucket_timeout_sec=3.0,
+        )
+
+
 def test_salting_breaks_mega_repo_skew(spark, src):
     # mega-repo holds ~30% of rows; salted buckets must stay balanced
     sizes = (

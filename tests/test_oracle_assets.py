@@ -1,0 +1,31 @@
+"""Guards for committed oracle assets: a stale weights parquet would make
+the DuckDB langid oracle silently diverge from the live model."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from language_identification_spark.models.registry import get_models
+from tools.export_weights import ASSET_PATH, PPL_ASSET_PATH
+
+
+@pytest.mark.parametrize("which", ["langid", "ppl"])
+def test_weights_asset_matches_model(which):
+    lid, lm = get_models()
+    model = lid if which == "langid" else lm
+    path = ASSET_PATH if which == "langid" else PPL_ASSET_PATH
+    t = pq.read_table(path)
+    buckets = t["bucket"].to_numpy()
+    lang_idx = t["lang_idx"].to_numpy()
+    logp = t["logp"].to_numpy()
+    langs = t["lang"].to_pylist()
+    assert len(t) == model.logp.shape[0] * model.logp.shape[1]
+    # exact float64-of-float32 equality, full matrix
+    assert np.array_equal(logp, model.logp.astype(np.float64)[buckets, lang_idx])
+    # lang names align with indices
+    got = {}
+    for li, name in zip(lang_idx, langs):
+        got[int(li)] = name
+    assert tuple(got[i] for i in range(len(model.langs))) == model.langs

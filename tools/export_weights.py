@@ -1,0 +1,65 @@
+"""Export the deterministic langid weights as a parquet asset.
+
+The DuckDB oracle for ``langid_documents`` re-scores documents in pure SQL:
+FNV-1a byte-trigram buckets (computed from hex-encoded text) joined against
+this (bucket, lang_idx, lang, logp) table.  The asset is a pure function of
+the seed corpus (models/registry.py `_WEIGHTS_VERSION`), so it is committed
+once and guarded by ``tests/test_langid.py::test_weights_asset_fresh``-style
+checks in tests/test_oracle_assets.py.
+
+Usage: python tools/export_weights.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from language_identification_spark.models.registry import (  # noqa: E402
+    _WEIGHTS_VERSION,
+    get_models,
+)
+
+_ASSETS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"
+)
+ASSET_PATH = os.path.join(_ASSETS_DIR, f"langid_logp_{_WEIGHTS_VERSION}.parquet")
+PPL_ASSET_PATH = os.path.join(_ASSETS_DIR, f"ppl_logp_{_WEIGHTS_VERSION}.parquet")
+
+
+def _write_matrix(langs: tuple[str, ...], logp32: np.ndarray, path: str) -> str:
+    n_buckets, n_langs = logp32.shape
+    bucket = np.repeat(np.arange(n_buckets, dtype=np.int32), n_langs)
+    lang_idx = np.tile(np.arange(n_langs, dtype=np.int32), n_buckets)
+    lang = np.array(langs, dtype=object)[lang_idx]
+    # float64 of the float32 weight — exactly the value the scorer sums
+    logp = logp32.astype(np.float64).reshape(-1)
+    table = pa.table(
+        {
+            "bucket": pa.array(bucket, pa.int32()),
+            "lang_idx": pa.array(lang_idx, pa.int32()),
+            "lang": pa.array(lang, pa.string()),
+            "logp": pa.array(logp, pa.float64()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(table, path, compression="zstd")
+    return path
+
+
+def export() -> list[str]:
+    lid, lm = get_models()
+    return [
+        _write_matrix(lid.langs, lid.logp, ASSET_PATH),
+        _write_matrix(lm.langs, lm.logp, PPL_ASSET_PATH),
+    ]
+
+
+if __name__ == "__main__":
+    print("\n".join(export()))
