@@ -53,6 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q_lang_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.functions.lang import (
         canon_lang_col,
+        collapse_supported_col,
         primary_lang_col,
     )
 
@@ -68,8 +69,9 @@ def _q_lang_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dirty_lang",
             canon_lang_col(F.col("dirty_lang")).alias("lang_canon"),
             primary_lang_col(F.col("dirty_lang")).alias("lang_primary"),
+            collapse_supported_col(F.col("dirty_lang")).alias("lang_collapsed"),
         )
-        .groupBy("dirty_lang", "lang_canon", "lang_primary")
+        .groupBy("dirty_lang", "lang_canon", "lang_primary", "lang_collapsed")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -95,9 +97,16 @@ WITH dirty AS (
          CASE WHEN lower(parts[1]) IN ('en','ar','es','zh')
                 THEN lower(parts[1]) ELSE '' END AS lang_primary
   FROM parsed
+), collapsed AS (
+  SELECT dirty_lang, lang_canon, lang_primary,
+         CASE WHEN trim(dirty_lang) = '' THEN ''
+              WHEN lower(trim(dirty_lang)) LIKE 'en%' THEN 'en-US'
+              WHEN lower(trim(dirty_lang)) LIKE 'ar%' THEN 'ar-SA'
+              ELSE lang_canon END AS lang_collapsed
+  FROM canon
 )
-SELECT dirty_lang, lang_canon, lang_primary, count(*) AS n
-FROM canon GROUP BY 1, 2, 3
+SELECT dirty_lang, lang_canon, lang_primary, lang_collapsed, count(*) AS n
+FROM collapsed GROUP BY 1, 2, 3, 4
 """
 
 

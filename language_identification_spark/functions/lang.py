@@ -36,6 +36,22 @@ def primary_lang_col(c: Column) -> Column:
     return F.when(primary.isin(*SUPPORTED_LANGS), primary).otherwise(F.lit(""))
 
 
+# variant → supported-locale collapse, exactly the reference's two-rule
+# behavior (``collapse_supported``, /root/reference/
+# disconnected_language_detector.py:183-204): anything starting "en" →
+# "en-US", anything starting "ar" → "ar-SA", else canonicalize.  The
+# startswith quirk is intentional fidelity — the reference maps e.g.
+# "english" to "en-US" the same way.
+def collapse_supported_col(c: Column) -> Column:
+    low = F.lower(F.trim(c))
+    return (
+        F.when(c.isNull() | (F.trim(c) == ""), F.lit(""))
+        .when(low.startswith("en"), F.lit("en-US"))
+        .when(low.startswith("ar"), F.lit("ar-SA"))
+        .otherwise(canon_lang_col(c))
+    )
+
+
 # scalar twins used by the independent labeler -----------------------------
 
 def canon_lang_scalar(s: str | None) -> str:
@@ -56,3 +72,14 @@ def primary_lang_scalar(s: str | None) -> str:
         return ""
     primary = s.strip().replace("_", "-").split("-")[0].lower()
     return primary if primary in SUPPORTED_LANGS else ""
+
+
+def collapse_supported_scalar(s: str | None) -> str:
+    if s is None or not s.strip():
+        return ""
+    low = s.strip().lower()
+    if low.startswith("en"):
+        return "en-US"
+    if low.startswith("ar"):
+        return "ar-SA"
+    return canon_lang_scalar(s)

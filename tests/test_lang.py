@@ -9,28 +9,36 @@ from pyspark.sql import functions as F
 from language_identification_spark.functions.lang import (
     canon_lang_col,
     canon_lang_scalar,
+    collapse_supported_col,
+    collapse_supported_scalar,
     primary_lang_col,
     primary_lang_scalar,
 )
 
+# (raw, canon, primary, collapsed) — collapsed mirrors the reference's
+# collapse_supported examples: en-GB → en-US, ar-* → ar-SA, else canon
 CASES = [
-    ("en", "en", "en"),
-    ("en_us", "en-US", "en"),
-    ("EN-GB", "en-GB", "en"),
-    ("ar-sa", "ar-SA", "ar"),
-    ("es-MX", "es-MX", "es"),
-    ("zh_CN", "zh-CN", "zh"),
-    ("", "", ""),
-    ("  en  ", "en", "en"),
-    ("fr", "fr", ""),  # unsupported → primary collapses to unknown
-    (None, "", ""),
+    ("en", "en", "en", "en-US"),
+    ("en_us", "en-US", "en", "en-US"),
+    ("EN-GB", "en-GB", "en", "en-US"),
+    ("ar-sa", "ar-SA", "ar", "ar-SA"),
+    ("ar-EG", "ar-EG", "ar", "ar-SA"),
+    ("es-MX", "es-MX", "es", "es-MX"),
+    ("zh_CN", "zh-CN", "zh", "zh-CN"),
+    ("", "", "", ""),
+    ("  en  ", "en", "en", "en-US"),
+    ("fr", "fr", "", "fr"),  # unsupported → primary collapses to unknown
+    # reference startswith quirk preserved: any 'en'/'ar' prefix collapses
+    ("english", "english", "", "en-US"),
+    (None, "", "", ""),
 ]
 
 
-@pytest.mark.parametrize("raw,canon,primary", CASES)
-def test_scalar(raw, canon, primary):
+@pytest.mark.parametrize("raw,canon,primary,collapsed", CASES)
+def test_scalar(raw, canon, primary, collapsed):
     assert canon_lang_scalar(raw) == canon
     assert primary_lang_scalar(raw) == primary
+    assert collapse_supported_scalar(raw) == collapsed
 
 
 def test_spark_matches_scalar(spark):
@@ -39,7 +47,8 @@ def test_spark_matches_scalar(spark):
         F.col("lang"),
         canon_lang_col(F.col("lang")).alias("canon"),
         primary_lang_col(F.col("lang")).alias("primary"),
+        collapse_supported_col(F.col("lang")).alias("collapsed"),
     ).collect()
-    expected = {c[0]: (c[1], c[2]) for c in CASES}
+    expected = {c[0]: (c[1], c[2], c[3]) for c in CASES}
     for r in rows:
-        assert (r.canon, r.primary) == expected[r.lang], r.lang
+        assert (r.canon, r.primary, r.collapsed) == expected[r.lang], r.lang

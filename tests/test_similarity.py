@@ -69,3 +69,39 @@ def test_lsh_returns_subset_ranked(emb):
     rows = lsh_topk(df, q, k=10).collect()
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_indexed_probes_match_scan_paths(spark, emb, tmp_path):
+    # write-side index: identical results to the index-free paths, and the
+    # probe plans prune partitions at the source (VERDICT r01 #3 / top-next 5)
+    from language_identification_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+    )
+
+    df, mat = emb
+    rng = np.random.default_rng(7)
+    q = [float(x) for x in rng.standard_normal(DIM)]
+    idx_dir = str(tmp_path / "ann_index")
+    build_ann_index(df, idx_dir)
+
+    scan_ivf = [(r.vec_id, r.cosine) for r in ivf_topk(df, q, k=10).collect()]
+    idx_ivf_df = ivf_topk_indexed(spark, idx_dir, q, k=10)
+    idx_ivf = [(r.vec_id, r.cosine) for r in idx_ivf_df.collect()]
+    assert idx_ivf == scan_ivf
+
+    scan_lsh = [(r.vec_id, r.cosine) for r in lsh_topk(df, q, k=10).collect()]
+    idx_lsh_df = lsh_topk_indexed(spark, idx_dir, q, k=10)
+    idx_lsh = [(r.vec_id, r.cosine) for r in idx_lsh_df.collect()]
+    assert idx_lsh == scan_lsh
+
+    # plan pins: partition pruning on the probe columns, zero Python stages
+    ivf_plan = idx_ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in ivf_plan and "ivf_cell" in ivf_plan.split(
+        "PartitionFilters", 1
+    )[1][:200], ivf_plan
+    assert "ArrowEvalPython" not in ivf_plan
+    lsh_plan = idx_lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "lsh_prefix" in lsh_plan.split("PartitionFilters", 1)[1][:300], lsh_plan
+    assert "ArrowEvalPython" not in lsh_plan
