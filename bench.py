@@ -62,6 +62,21 @@ def main() -> None:
     # first-touch cost per worker that a long-running executor never sees)
     t_w = time.monotonic()
     _noop(quality_filter(spark.read.parquet(src_path).limit(16384).repartition(128)))
+    # warm the dedup feature UDF's allocator pools the same way — the first
+    # cold pass over 32 fresh workers is the single biggest outlier on this
+    # host (observed 346s vs 26s steady at sf0.1)
+    from language_identification_spark.operators.dedup import jaccard_pairs
+
+    _noop(
+        jaccard_pairs(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(1024)
+            .repartition(64),
+            "text",
+            "doc_id",
+            0.5,
+        )
+    )
     print(f"[bench] warmup: {time.monotonic()-t_w:.1f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -90,7 +105,9 @@ def main() -> None:
     timed("quality_scores", lambda: _noop(em._q_quality_scores(spark, SF_DIR)))
     timed("ivf_topk", lambda: _noop(em._q_ivf_topk(spark, SF_DIR)))
     timed(
-        "minhash_jaccard_pairs", lambda: _noop(em._q_minhash_pairs(spark, SF_DIR))
+        "minhash_jaccard_pairs",
+        lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
+        runs=3,
     )
     timed(
         "quality_filter_full",

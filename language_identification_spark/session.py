@@ -28,6 +28,11 @@ def get_spark(app: str = "language_identification_spark",
     # the JVM (and hence the python workers) starts.
     os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
     os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "536870912")
+    # pyarrow defaults to its bundled jemalloc, which ignores the glibc
+    # thresholds above and hands pages back to the OS between Arrow batches
+    # — every batch then re-faults its buffers.  The system pool routes
+    # Arrow allocations through the tuned glibc arena instead.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -51,6 +56,7 @@ def get_spark(app: str = "language_identification_spark",
         .config("spark.python.worker.reuse", "true")
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", "536870912")
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", "536870912")
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL", "system")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -25,10 +25,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-class ParquetTableIO:
+class SnapshotTableIO:
+    """The snapshot/append contract, storage-format-agnostic.
+
+    Subclasses pick the data format (`_write`/`_read`); the commit protocol
+    — data first, atomic manifest replace second, readers see only the
+    manifest — is identical for every implementation, and the contract test
+    (tests/test_tableio_contract.py) runs against all of them.  The real
+    Iceberg runtime slots in as a third subclass whose `_write`/`_read` call
+    ``df.writeTo(...)``; nothing above this interface changes.
+    """
+
     def __init__(self, table_path: str):
         self.table_path = table_path
         os.makedirs(table_path, exist_ok=True)
+
+    def _write(self, df: DataFrame, data_dir: str) -> None:
+        raise NotImplementedError
+
+    def _read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        raise NotImplementedError
 
     @property
     def _manifest_path(self) -> str:
@@ -44,7 +60,7 @@ class ParquetTableIO:
         """Write df as a new snapshot; commit by atomic manifest replace."""
         snap_id = uuid.uuid4().hex[:16]
         data_dir = os.path.join(self.table_path, f"snap-{snap_id}")
-        df.write.mode("overwrite").parquet(data_dir)
+        self._write(df, data_dir)
         snaps = self.snapshots()
         snaps.append({"id": snap_id, "dir": f"snap-{snap_id}", "meta": meta or {}})
         tmp = self._manifest_path + f".tmp-{snap_id}"
@@ -62,7 +78,7 @@ class ParquetTableIO:
         if not snaps:
             return None
         paths = [os.path.join(self.table_path, s["dir"]) for s in snaps]
-        return spark.read.parquet(*paths)
+        return self._read(spark, paths)
 
     def committed_meta(self) -> list[dict]:
         return [s["meta"] for s in self.snapshots()]
@@ -82,3 +98,27 @@ class ParquetTableIO:
             json.dump({"snapshots": kept}, f, indent=1)
         os.replace(tmp, self._manifest_path)
         return len(snaps) - len(kept)
+
+
+class ParquetTableIO(SnapshotTableIO):
+    """Parquet-backed snapshots — the default (and fastest) implementation."""
+
+    def _write(self, df: DataFrame, data_dir: str) -> None:
+        df.write.mode("overwrite").parquet(data_dir)
+
+    def _read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        return spark.read.parquet(*paths)
+
+
+class JsonTableIO(SnapshotTableIO):
+    """JSON-lines-backed snapshots — the second implementation that keeps
+    the interface honest (SURVEY §7.0 promised the contract tested against
+    more than one storage path).  Schema note: spark.read.json infers types,
+    so readers get the same column names with JSON-representable types."""
+
+    def _write(self, df: DataFrame, data_dir: str) -> None:
+        df.write.mode("overwrite").json(data_dir)
+
+    def _read(self, spark: SparkSession, paths: list[str]) -> DataFrame:
+        # read.json's second positional is a schema — pass paths as ONE list
+        return spark.read.json(paths)
