@@ -34,6 +34,20 @@ N_BUCKETS = 1 << 15
 ALPHA = 1e-5  # Laplace smoothing on the frequency scale
 SOFTMAX_SCALE = 12.0  # sharpness of mean-loglik → confidence
 
+# float64 view of each model's weight matrix, built once per process — the
+# models are process-lifetime singletons (models/registry.py), and
+# rebuilding the ~1 MB matrix per 512-row chunk was ~200 MB of pure
+# allocator churn per 100k rows on a host that serializes page faults
+_LOGP64_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def logp64_of(logp: "np.ndarray") -> "np.ndarray":
+    m = _LOGP64_CACHE.get(id(logp))
+    if m is None:
+        m = logp.astype(np.float64)
+        _LOGP64_CACHE[id(logp)] = m
+    return m
+
 
 @dataclass(frozen=True)
 class LangIdModel:
@@ -65,7 +79,7 @@ class LangIdModel:
             # milli-rounded cross-engine hash equality; (b) per-lang passes
             # keep the peak gather buffer at n_tri*8 bytes instead of
             # n_tri*L*4 in one slab (smaller recycled arena on this host)
-            logp64 = self.logp.astype(np.float64)
+            logp64 = logp64_of(self.logp)
             idx = np.minimum(bounds[:-1], len(buckets) - 1)
             for j in range(L):
                 sums_j = np.add.reduceat(logp64[buckets, j], idx)

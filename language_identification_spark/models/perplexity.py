@@ -52,7 +52,9 @@ class BigramLM:
             # float64 per-lang accumulation: agrees with the float64-summing
             # independent scorers (labeler, DuckDB oracle) to ~1e-12, and
             # keeps the peak gather buffer to n_bigram*8 bytes (see langid)
-            logp64 = self.logp.astype(np.float64)
+            from .langid import logp64_of
+
+            logp64 = logp64_of(self.logp)
             idx = np.minimum(bounds[:-1], len(buckets) - 1)
             for j in range(L):
                 sums_j = np.add.reduceat(logp64[buckets, j], idx)

@@ -42,12 +42,15 @@ def get_spark(app: str = "language_identification_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
-        # W6 straggler policy (reference watchdog analog, SURVEY §2.4):
-        # speculative re-launch of slow tasks (active on multi-executor
-        # clusters; inert in local mode) and the task reaper so cancelled
-        # tasks — e.g. a bucket killed by the runner's wall-clock watchdog
-        # (checkpoint.BucketTimeout) — cannot linger as zombies
-        .config("spark.speculation", "true")
+        # W6 straggler policy (reference watchdog analog, SURVEY §2.4): the
+        # task reaper guarantees cancelled tasks — e.g. a bucket killed by
+        # the runner's wall-clock watchdog (checkpoint.BucketTimeout) —
+        # cannot linger as zombies.  Speculative re-launch is a CLUSTER
+        # knob: in local mode the duplicate attempt contends with the
+        # original for the same cores/python workers (measured ~18% on the
+        # UDF path), so jobs/run_pipeline.py enables it via --conf on real
+        # clusters instead of here.
+        .config("spark.speculation", os.environ.get("SPARK_SPECULATION", "false"))
         .config("spark.speculation.multiplier", "4")
         .config("spark.speculation.quantile", "0.9")
         .config("spark.task.reaper.enabled", "true")
