@@ -3,7 +3,8 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-every SQL-expressible one.  Numeric outputs are integerized (``*_milli`` =
+EVERY query (21/21) — including the model/LSH stages, re-derived in SQL
+against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
 both sides.
@@ -1074,6 +1075,120 @@ FROM (
 """
 
 
+def _sql_minhash_pairs() -> str:
+    """Full MinHash→LSH→exact-Jaccard oracle: FNV byte-trigram shingles,
+    the 64 fixed (a,b) permutations via HUGEINT wraparound arithmetic,
+    16x4 banding with the same string band keys and the 64-member bucket
+    cap, then exact set Jaccard on the surviving candidate pairs.  Every
+    stage is integer-exact, so the pair set and jaccard_milli must match
+    the Spark operator bit for bit."""
+    from language_identification_spark.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        SAMPLE_BYTES,
+    )
+    from language_identification_spark.operators.dedup import (
+        _PERM_A,
+        _PERM_B,
+        LSH_BANDS,
+        MAX_BUCKET,
+        N_PERM,
+        SHINGLE_BUCKETS,
+    )
+
+    m64 = "18446744073709551616"
+    mask63 = (1 << 63) - 1
+    rows_per_band = N_PERM // LSH_BANDS
+
+    def fnv_step(h: str, b: str) -> str:
+        return (
+            f"CAST((CAST(xor({h}, {b}) AS HUGEINT) * {FNV_PRIME})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    perms = ", ".join(
+        f"({j}, {int(_PERM_A[j])}::UBIGINT, {int(_PERM_B[j])}::UBIGINT)"
+        for j in range(N_PERM)
+    )
+    return f"""
+WITH perms(j, a, b) AS (VALUES {perms}),
+src AS (
+  SELECT doc_id, substr(hex(encode(lower(text))), 1, {2 * SAMPLE_BYTES}) AS hx
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i,
+         CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17 AS UBIGINT)
+           AS b
+  FROM src, unnest(generate_series(1, length(hx)//2)) AS z(i)
+),
+tri AS (
+  SELECT doc_id, b AS b1, lead(b,1) OVER w AS b2, lead(b,2) OVER w AS b3
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+h1 AS (SELECT doc_id, {fnv_step(f"{FNV_OFFSET}::UBIGINT", "b1")} AS h, b2, b3
+       FROM tri WHERE b3 IS NOT NULL),
+h2 AS (SELECT doc_id, {fnv_step("h", "b2")} AS h, b3 FROM h1),
+sh AS (SELECT DISTINCT doc_id,
+              {fnv_step("h", "b3")} % {SHINGLE_BUCKETS} AS s
+       FROM h2),
+-- per-doc per-permutation minimum; docs with no shingles default to the
+-- 63-bit mask exactly like the Spark UDF
+sigv AS (
+  SELECT d.doc_id, p.j,
+         coalesce(m.sig, {mask63}) AS sig
+  FROM documents d CROSS JOIN perms p
+  LEFT JOIN (
+    SELECT sh.doc_id, pp.j,
+           min(CAST(xor(
+                 CAST((CAST(sh.s AS HUGEINT) * pp.a) % {m64} AS UBIGINT),
+                 pp.b) & {mask63}::UBIGINT AS BIGINT)) AS sig
+    FROM sh CROSS JOIN perms pp GROUP BY sh.doc_id, pp.j
+  ) m ON m.doc_id = d.doc_id AND m.j = p.j
+),
+bands AS (
+  SELECT doc_id, j // {rows_per_band} AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j) AS bucket
+  FROM sigv GROUP BY doc_id, j // {rows_per_band}
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, band, bucket,
+           count(*) OVER (PARTITION BY band, bucket) AS bs
+    FROM bands
+  ) WHERE bs <= {MAX_BUCKET}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list(s) AS sl, count(*) AS n FROM sh GROUP BY doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         coalesce(sa.n, 0) + coalesce(sb.n, 0) AS tot,
+         len(list_distinct(list_concat(coalesce(sa.sl, []),
+                                       coalesce(sb.sl, [])))) AS u
+  FROM cand c
+  LEFT JOIN sets sa ON sa.doc_id = c.id_a
+  LEFT JOIN sets sb ON sb.doc_id = c.id_b
+),
+jac AS (
+  -- filter on the RAW value, round only for output — mirrors the Spark
+  -- operator's filter-then-round order exactly
+  SELECT id_a, id_b,
+         CASE WHEN u > 0 THEN (tot - u) * 1.0 / u ELSE 1.0 END AS jraw
+  FROM verified
+)
+SELECT id_a, id_b,
+       CAST(round(round(jraw, 6) * 1000) AS BIGINT) AS jaccard_milli
+FROM jac WHERE jraw >= 0.5
+"""
+
+
 def _q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard verification on a deterministic pair list
     (every doc_id divisible by 5 vs its successor) — pure Catalyst, green
@@ -1239,9 +1354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "scrub_documents": _q_scrub,
         "langid_documents": _q_langid,
-        # rows-only (UDF-hashed signatures / full-model stages; the hashed
-        # MinHash signature spec is not reasonably ANSI-SQL-expressible —
-        # its exact-verification twin jaccard_verify_pairs IS oracled)
         "minhash_jaccard_pairs": _q_minhash_pairs,
         "simhash_buckets": _q_simhash,
         "quality_filter_full": _q_quality_filter,
@@ -1271,4 +1383,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_buckets": _sql_simhash(),
         "langid_line_spans": _sql_line_spans(),
         "quality_filter_full": _sql_quality_filter(),
+        "minhash_jaccard_pairs": _sql_minhash_pairs(),
     }
