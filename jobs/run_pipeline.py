@@ -5,14 +5,22 @@ Packaging + launch (the reference ships models inside docker containers,
 py-files zip + deterministic per-worker model build):
 
     cd /root/repo && zip -qr /tmp/pipeline.zip language_identification_spark
-    spark-submit --py-files /tmp/pipeline.zip jobs/run_pipeline.py \
+    spark-submit --py-files /tmp/pipeline.zip \
+        --conf spark.speculation=true \
+        jobs/run_pipeline.py \
         --source /path/to/source_files_parquet \
         --out /path/to/output_root \
-        --buckets 64 [--resume]
+        --buckets 64 [--dotenv .env] [--bucket-timeout-sec 3600]
+
+``spark.speculation=true`` belongs HERE (multi-executor clusters — the W6
+straggler re-launch); session.py leaves it off in local mode where the
+duplicate attempt contends with the original for the same cores.
 
 Reads the source table, runs the checkpointed keep/drop+scrub pipeline, and
 writes results + lineage metrics through the snapshot TableIO.  Re-running
-with the same ``--out`` resumes from the last committed bucket.
+with the same ``--out`` resumes from the last committed bucket.  Decision
+thresholds layer spark conf > env > .env > frozen defaults
+(``config_sources.filter_config``).
 """
 
 from __future__ import annotations
@@ -29,6 +37,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--app-name", default="quality-filter")
+    ap.add_argument("--dotenv", default=None, help=".env path (never overrides real env)")
+    ap.add_argument("--bucket-timeout-sec", type=float, default=None,
+                    help="wall-clock watchdog per bucket (W6)")
     args = ap.parse_args()
 
     # plain builder (no master override) so spark-submit controls deployment
@@ -38,11 +49,18 @@ def main() -> None:
         read_metrics,
         run_checkpointed,
     )
+    from language_identification_spark.config_sources import filter_config
     from language_identification_spark.plans.pipeline import quality_filter
 
+    cfg = filter_config(dotenv_path=args.dotenv, spark=spark)
     src = spark.read.parquet(args.source)
     out = run_checkpointed(
-        spark, src, args.out, quality_filter, n_buckets=args.buckets
+        spark,
+        src,
+        args.out,
+        lambda df: quality_filter(df, cfg=cfg),
+        n_buckets=args.buckets,
+        bucket_timeout_sec=args.bucket_timeout_sec,
     )
     m = read_metrics(spark, args.out)
     totals = m.groupBy().sum("rows_in", "rows_kept", "rows_dropped", "n_redactions")

@@ -37,6 +37,33 @@ SOURCE_SCHEMA = StructType(
 )
 
 
+def sessionize_session_window(df, key_col: str, ts_col: str, gap_seconds: int):
+    """W2's STREAMING-NATIVE twin: Spark's built-in ``session_window``.
+
+    Works identically on a batch DataFrame and on a watermarked stream
+    (``withWatermark(ts, ...)`` upstream) — the engine-managed form of the
+    gaps-and-islands merge.  Semantics note vs ``merge_islands``:
+    ``session_window`` treats a gap EQUAL to the threshold as a new session
+    (strict <), while the reference merges at gap == max_gap (``<=``,
+    ``disconnected_language_detector.py:935``) — so equality with the batch
+    operator holds for ``max_gap = gap - 1`` microsecond under microsecond
+    timestamps.  The parity test pins exactly that relationship.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
+                   F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
 def start_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -1,0 +1,68 @@
+"""Stateful cross-chunk normalization (P10): chunked == whole-document for
+every split point, including splits inside multibyte sequences and between
+CR and LF; Spark operator agrees with the scalar stream twin."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from language_identification_spark.operators.chunked import (
+    normalize_chunk_stream,
+    normalize_chunked,
+    normalize_whole,
+)
+
+DOC = "línea uno\r\nlínea dos\r中文行三\ncuatro čtyři 🚀 end\r".encode()
+
+
+def _chunks(data: bytes, size: int) -> list[bytes]:
+    return [data[i : i + size] for i in range(0, len(data), size)] or [b""]
+
+
+@pytest.mark.parametrize("size", [1, 2, 3, 5, 7, 64, len(DOC)])
+def test_every_chunk_size_matches_whole(size):
+    assert normalize_chunk_stream(iter(_chunks(DOC, size))) == normalize_whole(DOC)
+
+
+def test_boundary_cases():
+    # CRLF straddling a boundary must not become two newlines
+    a, b = b"x\r", b"\ny"
+    assert normalize_chunk_stream(iter([a, b])) == "x\ny"
+    # lone CR at EOF becomes LF
+    assert normalize_chunk_stream(iter([b"x\r"])) == "x\n"
+    # multibyte split: é = 0xC3 0xA9
+    assert normalize_chunk_stream(iter([b"caf\xc3", b"\xa9"])) == "café"
+    # truncated multibyte at EOF → replacement char, like the whole-doc twin
+    assert normalize_chunk_stream(iter([b"x\xc3"])) == normalize_whole(b"x\xc3")
+    assert normalize_chunk_stream(iter([b""])) == ""
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.sampled_from("aé中\r\n🚀 "), min_size=0, max_size=40
+    ),
+    size=st.integers(min_value=1, max_value=9),
+)
+def test_property_chunked_equals_whole(text, size):
+    data = text.encode("utf-8")
+    assert normalize_chunk_stream(iter(_chunks(data, size))) == normalize_whole(
+        data
+    )
+
+
+def test_spark_operator_matches_scalar(spark):
+    docs = {0: DOC, 1: "plain ascii\r\nonly".encode(), 2: b""}
+    rows = []
+    for doc_id, data in docs.items():
+        for i, ch in enumerate(_chunks(data, 3)):
+            rows.append((doc_id, i, ch))
+    df = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, payload binary"
+    )
+    got = {r.doc_id: (r.text, r.n_chunks) for r in normalize_chunked(df).collect()}
+    for doc_id, data in docs.items():
+        assert got[doc_id][0] == normalize_whole(data), doc_id
+    assert got[0][1] == len(_chunks(DOC, 3))

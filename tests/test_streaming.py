@@ -31,3 +31,37 @@ def test_stream_equals_batch(spark, tmp_path):
     # multiple micro-batches actually happened
     snaps = ParquetTableIO(f"{out_root}/results").snapshots()
     assert len(snaps) >= 2
+
+
+def test_session_window_twin_matches_merge_islands(spark):
+    # W2 streaming-native twin: session_window (strict < gap, window end =
+    # last event + gap) must equal merge_islands with max_gap = gap-1us and
+    # island_end shifted by the gap
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.islands import merge_islands
+    from language_identification_spark.streaming.ingest import (
+        sessionize_session_window,
+    )
+
+    gap_s = 30 * 60
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sw = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessionize_session_window(ev, "user_id", "ts", gap_s).collect()
+    }
+    ev_us = ev.select(
+        "user_id", F.unix_micros("ts").alias("start"),
+        F.unix_micros("ts").alias("end"),
+    )
+    mi = {
+        (r.user_id, r.island_start, r.island_end + gap_s * 1_000_000,
+         r.n_events)
+        for r in merge_islands(
+            ev_us, ["user_id"], "user_id", "start", "end",
+            max_gap=gap_s * 1_000_000 - 1,
+        ).collect()
+    }
+    assert sw == mi and len(sw) > 0
