@@ -41,15 +41,25 @@ input but replaces n_buckets full scans.
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import time
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from .config import DROP_REASONS
 from .sources.tableio import ParquetTableIO
+
+# S8: the reference's dual console+file log sink (``setup_logging``,
+# disconnected_language_detector.py:116-139) maps to a module logger emitting
+# one structured line per bucket commit; the numeric metrics land in the
+# metrics TABLE (queryable), computed via df.observe() DURING the write.
+log = logging.getLogger("language_identification_spark.checkpoint")
+
+_VERDICT_COLS = {"keep", "drop_reason", "n_redactions"}
 
 
 class BucketTimeout(RuntimeError):
@@ -130,13 +140,35 @@ def run_checkpointed(
             continue
         t0 = time.monotonic()
         part = staged.filter(F.col("_bucket") == b).drop("_bucket")
+        staged_out = stage_fn(part)
+        # S8: metrics via df.observe — computed by the SAME job that writes
+        # the snapshot, so lineage costs zero extra scans and zero recompute
+        has_verdict = _VERDICT_COLS.issubset(set(staged_out.columns))
+        obs = None
+        if has_verdict:
+            obs = Observation(f"bucket-{b}")
+            reason = F.coalesce(F.col("drop_reason"), F.lit("keep"))
+            staged_out = staged_out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_in"),
+                F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias(
+                    "rows_kept"
+                ),
+                F.coalesce(F.sum("n_redactions"), F.lit(0)).alias("n_redactions"),
+                *[
+                    F.coalesce(
+                        F.sum((reason == r).cast("long")), F.lit(0)
+                    ).alias(f"reason_{r}")
+                    for r in ("keep", *DROP_REASONS)
+                ],
+            )
         group = f"bucket-{b}"
         timer = fired = None
         if bucket_timeout_sec is not None:
             spark.sparkContext.setJobGroup(group, f"bucket {b}", True)
             timer, fired = _watchdog(spark, group, bucket_timeout_sec)
         try:
-            snap = results.append(stage_fn(part), {"bucket": b})
+            results.append(staged_out, {"bucket": b})
         except Exception as e:  # noqa: BLE001
             if fired is not None and fired.is_set():
                 raise BucketTimeout(
@@ -152,31 +184,55 @@ def run_checkpointed(
                 f"injected failure inside commit window of bucket {b}"
             )
         wall_ms = int((time.monotonic() - t0) * 1000)
-        # metrics come from the WRITTEN snapshot — a cheap column-pruned
-        # parquet scan, never a recompute of the UDF stages
-        out = spark.read.parquet(results.snapshot_dir(snap))
-        m = (
-            out.agg(
-                F.count(F.lit(1)).alias("rows_in"),
-                F.coalesce(F.sum(F.col("keep").cast("long")), F.lit(0)).alias(
-                    "rows_kept"
-                ),
-                F.coalesce(F.sum((~F.col("keep")).cast("long")), F.lit(0)).alias(
-                    "rows_dropped"
-                ),
-                F.coalesce(F.sum("n_redactions"), F.lit(0)).alias("n_redactions"),
-            )
-            .withColumn("bucket", F.lit(b))
-            .withColumn("wall_ms", F.lit(wall_ms))
+        if has_verdict:
+            got = obs.get
+            rows_in = int(got["rows_in"])
+            reasons = {
+                r: int(got[f"reason_{r}"])
+                for r in ("keep", *DROP_REASONS)
+                if int(got[f"reason_{r}"]) > 0 or r == "keep"
+            }
+            m_row = {
+                "rows_in": rows_in,
+                "rows_kept": int(got["rows_kept"]),
+                "rows_dropped": rows_in - int(got["rows_kept"]),
+                "n_redactions": int(got["n_redactions"]),
+                "bucket": b,
+                "wall_ms": wall_ms,
+                "dropped_by_reason": {
+                    k: v for k, v in reasons.items() if v > 0 or k == "keep"
+                },
+            }
+        else:  # arbitrary stage output: row count only
+            rows_in = spark.read.parquet(
+                results.snapshot_dir(results.snapshots()[-1]["id"])
+            ).count()
+            m_row = {
+                "rows_in": rows_in,
+                "rows_kept": 0,
+                "rows_dropped": rows_in,
+                "n_redactions": 0,
+                "bucket": b,
+                "wall_ms": wall_ms,
+                "dropped_by_reason": {},
+            }
+        log.info(
+            "bucket=%d rows_in=%d kept=%d redactions=%d wall_ms=%d",
+            b, m_row["rows_in"], m_row["rows_kept"],
+            m_row["n_redactions"], wall_ms,
         )
-        reason_counts = (
-            out.groupBy(F.coalesce(F.col("drop_reason"), F.lit("keep")).alias("reason"))
-            .count()
-            .agg(F.map_from_entries(F.collect_list(F.struct("reason", "count"))).alias(
-                "dropped_by_reason"
-            ))
+        m = spark.createDataFrame(
+            [
+                (
+                    m_row["rows_in"], m_row["rows_kept"], m_row["rows_dropped"],
+                    m_row["n_redactions"], m_row["bucket"], m_row["wall_ms"],
+                    m_row["dropped_by_reason"],
+                )
+            ],
+            "rows_in long, rows_kept long, rows_dropped long, n_redactions long,"
+            " bucket int, wall_ms int, dropped_by_reason map<string,long>",
         )
-        metrics.append(m.crossJoin(reason_counts), {"bucket": b})
+        metrics.append(m, {"bucket": b})
         processed += 1
         if fail_after is not None and processed >= fail_after:
             raise RuntimeError(f"injected failure after bucket {b}")
