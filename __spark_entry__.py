@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (21/21) — including the model/LSH stages, re-derived in SQL
+EVERY query (22/22) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -227,6 +227,75 @@ SELECT doc_id,
        substring(sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
          AS fingerprint
 FROM documents
+"""
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.functions.text import (
+        WINNOW_M,
+        with_winnow_fingerprints,
+    )
+
+    docs = with_winnow_fingerprints(_docs(spark, sf_dir), "text", "fp")
+    fp = F.col("fp")
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_fp"),
+        F.coalesce(F.array_min(fp), F.lit(-1)).cast("long").alias("fp_min"),
+        F.coalesce(F.array_max(fp), F.lit(-1)).cast("long").alias("fp_max"),
+        (
+            F.aggregate(fp, F.lit(0).cast("long"), lambda a, x: a + x)
+            % F.lit(WINNOW_M)
+        ).cast("long").alias("fp_sum_mod"),
+    )
+
+
+def _sql_winnow() -> str:
+    from language_identification_spark.functions.text import (
+        WINNOW_B,
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_W,
+    )
+
+    B, M, K, W = WINNOW_B, WINNOW_M, WINNOW_K, WINNOW_W
+    # k=5 polynomial unrolled with the fold's mod-after-each-step order
+    poly = f"cp[i]"
+    for j in range(1, K):
+        poly = f"(({poly}) * {B} + cp[i+{j}]) % {M}"
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '[^\\p{{L}}\\p{{N}}]', '', 'g') AS norm
+  FROM documents
+),
+cps AS (
+  SELECT doc_id, length(norm) AS n,
+         list_transform(string_split(norm, ''),
+                        ch -> CAST(unicode(ch) AS BIGINT)) AS cp
+  FROM src
+),
+h AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, n - {K - 1}), i -> {poly}) AS hs
+  FROM cps WHERE n >= {K}
+),
+fp AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           CASE WHEN len(hs) >= {W}
+             THEN list_transform(generate_series(1, len(hs) - {W - 1}),
+                                 p -> list_min(hs[p : p + {W - 1}]))
+             ELSE [list_min(hs)] END
+         )) AS f
+  FROM h
+)
+SELECT d.doc_id,
+       CAST(coalesce(len(f.f), 0) AS BIGINT) AS n_fp,
+       CAST(coalesce(f.f[1], -1) AS BIGINT) AS fp_min,
+       CAST(coalesce(f.f[len(f.f)], -1) AS BIGINT) AS fp_max,
+       CAST(coalesce(list_sum(f.f), 0) % {M} AS BIGINT) AS fp_sum_mod
+FROM documents d LEFT JOIN fp f USING (doc_id)
 """
 
 
@@ -1342,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heuristic_flags": _q_heuristic_flags,
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow,
         "exact_dedup": _q_exact_dedup,
         "ordered_agg": _q_ordered_agg,
         "broadcast_enrich": _q_broadcast_enrich,
@@ -1368,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
         "heuristic_flags": _SQL_HEURISTIC_FLAGS,
         "token_stats": _SQL_TOKEN_STATS,
         "fingerprint": _SQL_FINGERPRINT,
+        "winnow_fingerprints": _sql_winnow(),
         "exact_dedup": _SQL_EXACT_DEDUP,
         "ordered_agg": _SQL_ORDERED_AGG,
         "broadcast_enrich": _SQL_BROADCAST_ENRICH,

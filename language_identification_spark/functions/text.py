@@ -74,3 +74,66 @@ def fingerprint_col(c: Column) -> Column:
     sha256 over the whitespace-normalized, lowercased text."""
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.substring(F.sha2(F.encode(normalized, "UTF-8"), 256), 1, 16)
+
+
+# winnowing parameters (frozen spec, shared with the SQL oracle and the
+# scalar twin): k-gram size, winnow window, polynomial base, modulus
+WINNOW_K = 5
+WINNOW_W = 4
+WINNOW_B = 31
+WINNOW_M = 1 << 31
+
+
+def with_winnow_fingerprints(
+    df, text_col: str, out_col: str = "winnow_fp",
+    k: int = WINNOW_K, w: int = WINNOW_W,
+):
+    """Winnowing rolling-hash fingerprints (Schleimer et al.) as PURE
+    Catalyst expressions — the local document-fingerprinting scheme behind
+    MOSS-style near-duplicate detection.
+
+    Pipeline per document: lowercase → strip non-alphanumerics → code
+    points → polynomial k-gram rolling hashes (base B mod M) → minimum of
+    every w-hash window → sorted distinct minima.  Two documents sharing a
+    sufficiently long substring are guaranteed to share a fingerprint
+    (the winnowing guarantee) — no UDF, no shuffle, SQL-mirrorable.
+
+    Staged as intermediate columns (not one nested expression) because
+    Catalyst re-evaluates a subexpression referenced inside a higher-order
+    lambda once PER ELEMENT — a single-expression form is O(n²·k) per
+    document; column references make each stage O(n)."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}]", "")
+    tmp_cps, tmp_h = f"_{out_col}_cps", f"_{out_col}_hashes"
+    df = df.withColumn(
+        tmp_cps, F.transform(F.split(norm, ""), lambda ch: F.ascii(ch).cast("long"))
+    )
+    cps = F.col(tmp_cps)
+    n_hashes = F.size(cps) - F.lit(k - 1)
+    df = df.withColumn(
+        tmp_h,
+        F.when(
+            F.size(cps) >= k,
+            F.transform(
+                F.sequence(F.lit(1), n_hashes),
+                lambda i: F.aggregate(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, j: (
+                        acc * F.lit(WINNOW_B)
+                        + F.element_at(cps, (i + j).cast("int"))
+                    )
+                    % F.lit(WINNOW_M),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>")),
+    )
+    hashes = F.col(tmp_h)
+    minima = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - F.lit(w - 1), F.lit(1))),
+        lambda p: F.array_min(F.slice(hashes, p.cast("int"), w)),
+    )
+    fp = F.when(
+        F.size(hashes) > 0, F.array_sort(F.array_distinct(minima))
+    ).otherwise(F.array().cast("array<long>"))
+    return df.withColumn(out_col, fp).drop(tmp_cps, tmp_h)

@@ -1,0 +1,72 @@
+"""Winnowing fingerprints: Spark expressions match an independent scalar
+implementation, and the winnowing guarantee (shared long substring ⇒ shared
+fingerprint) holds."""
+
+from __future__ import annotations
+
+import pytest
+
+from language_identification_spark.functions.text import (
+    WINNOW_B,
+    WINNOW_K,
+    WINNOW_M,
+    WINNOW_W,
+    with_winnow_fingerprints,
+)
+
+
+def winnow_scalar(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    """Independent plain-Python twin of the frozen spec."""
+    norm = "".join(ch for ch in text.lower() if ch.isalnum())
+    cps = [ord(ch) for ch in norm]
+    if len(cps) < k:
+        return []
+    hashes = []
+    for i in range(len(cps) - k + 1):
+        h = 0
+        for j in range(k):
+            h = (h * WINNOW_B + cps[i + j]) % WINNOW_M
+        hashes.append(h)
+    if len(hashes) >= w:
+        minima = [min(hashes[p : p + w]) for p in range(len(hashes) - w + 1)]
+    else:
+        minima = [min(hashes)]
+    return sorted(set(minima))
+
+
+DOCS = [
+    "The quick brown fox jumps over the lazy dog",
+    "the QUICK  brown-fox! jumps_over the lazy dog",  # same after normalize
+    "完全不同的中文文本，用于测试多字节字符的哈希",
+    "tiny",
+    "",
+    "x" * 3,
+]
+
+
+def test_spark_matches_scalar(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(DOCS)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.fp)
+        for r in with_winnow_fingerprints(df, "text", "fp").collect()
+    }
+    for i, t in enumerate(DOCS):
+        assert got[i] == winnow_scalar(t), (i, t)
+
+
+def test_normalization_invariance():
+    # whitespace/punct/case edits never change the fingerprint set
+    assert winnow_scalar(DOCS[0]) == winnow_scalar(DOCS[1])
+    assert winnow_scalar(DOCS[0]) != winnow_scalar(DOCS[2])
+
+
+@pytest.mark.parametrize("pad", ["zzz prefix ", "### "])
+def test_winnowing_guarantee_shared_substring(pad):
+    # the winnowing guarantee: any shared substring of length >= k + w - 1
+    # (normalized) contributes at least one common fingerprint
+    shared = "thiscommonblockisdefinitelylongenoughtoguaranteeamatch"
+    a = winnow_scalar(pad + shared)
+    b = winnow_scalar(shared + " totally different suffix here")
+    assert set(a) & set(b), "no shared fingerprint for shared substring"
