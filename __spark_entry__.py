@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (22/22) — including the model/LSH stages, re-derived in SQL
+EVERY query (23/23) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1258,6 +1258,43 @@ FROM jac WHERE jraw >= 0.5
 """
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("comp").cast("long").alias("component"),
+    )
+
+
+def _sql_dedup_components() -> str:
+    """Transitive-closure oracle: the minhash pair SQL as the edge set, then
+    a recursive CTE computing each node's minimum reachable id."""
+    pairs_sql = _sql_minhash_pairs()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pairs_sql}) t
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 def _q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard verification on a deterministic pair list
     (every doc_id divisible by 5 vs its successor) — pure Catalyst, green
@@ -1425,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_documents": _q_scrub,
         "langid_documents": _q_langid,
         "minhash_jaccard_pairs": _q_minhash_pairs,
+        "dedup_components": _q_dedup_components,
         "simhash_buckets": _q_simhash,
         "quality_filter_full": _q_quality_filter,
         "langid_line_spans": _q_line_spans,
@@ -1455,4 +1493,5 @@ def oracle_sql() -> dict[str, str]:
         "langid_line_spans": _sql_line_spans(),
         "quality_filter_full": _sql_quality_filter(),
         "minhash_jaccard_pairs": _sql_minhash_pairs(),
+        "dedup_components": _sql_dedup_components(),
     }

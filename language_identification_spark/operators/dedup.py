@@ -317,6 +317,64 @@ def exact_jaccard_pairs(
     return pairs.withColumn("jaccard", F.round(jac, 6))
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive near-dup groups: (node, component) where component is the
+    minimum id reachable through the pair graph — what a dedup pipeline
+    needs AFTER pair mining (keep one representative per component, not per
+    pair).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest component id among itself and its neighbors; converges in
+    O(graph diameter) rounds (near-dup clusters are dense, so typically
+    2-4).  Each round is one shuffle on node ids; the loop stops at the
+    fixpoint (count of changed labels == 0, checked driver-side — a scalar
+    per round, not row data).
+
+    Lineage is truncated with ``localCheckpoint`` every round — WITHOUT it
+    each iteration's logical plan nests the previous one and Catalyst
+    re-analysis time grows super-linearly (the well-known iterative-
+    algorithm pitfall; the un-truncated loop took minutes at 500 nodes).
+    At web scale the same loop holds (duplicate clusters stay small);
+    pathological giant components would call for the large-star/small-star
+    variant, which this loop structure accommodates without API change.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    comp = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor = sym.join(
+            comp.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), F.col("comp"))
+        new_comp = (
+            comp.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.withColumnRenamed("comp", "comp_new")
+            .join(comp, "node")
+            .filter(F.col("comp_new") != F.col("comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over char-3-shingle hashes (count-weighted)."""
     bts = [(t or "").lower().encode("utf-8") for t in texts]

@@ -67,3 +67,16 @@ def test_simhash_locality(docs):
     # unrelated text differs in most chunks
     far = sum(rows[0][f"chunk{c}"] == rows[3][f"chunk{c}"] for c in range(4))
     assert far <= 1
+
+
+def test_connected_components(spark):
+    from language_identification_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components(pairs).collect()}
+    # {1,2,3,9} form one component labeled by its minimum, {5,6} another
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
