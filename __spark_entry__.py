@@ -1369,6 +1369,29 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write-side-index probe path: build the partitioned ANN index
+    once (cached across calls), probe with partition pruning.  Results are
+    identical to the scan-path ivf_topk, so it shares that oracle."""
+    import os
+    import tempfile
+
+    from language_identification_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        build_ann_index(emb, idx_dir)
+    return ivf_topk_indexed(spark, idx_dir, _QUERY_VEC, k=10).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.similarity import cosine_dup_pairs
 
@@ -1458,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verify_pairs": _q_jaccard_verify,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_indexed": _q_ivf_topk_indexed,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "scrub_documents": _q_scrub,
         "langid_documents": _q_langid,
@@ -1486,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_verify_pairs": _SQL_JACCARD_VERIFY,
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
+        "ivf_topk_indexed": _sql_ivf_topk(),
         "cosine_dup_pairs": _sql_cosine_dup_pairs(),
         "scrub_documents": _sql_scrub(),
         "langid_documents": _sql_langid(),

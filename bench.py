@@ -81,10 +81,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
+    # soft wall budget: extra min-of-N re-runs are skipped once the bench has
+    # been measuring this long, so one degraded-host-phase outlier (observed
+    # 330s vs 28s steady on the same query) can never run the bench into a
+    # harness timeout.  Every query always gets at least one run.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    t_meas = time.monotonic()
 
     def timed(name: str, fn, runs: int = 1) -> None:
         samples = []
-        for _ in range(runs):
+        for i in range(runs):
+            if i > 0 and time.monotonic() - t_meas > budget_s:
+                print(f"[bench] {name}: budget hit, {i} run(s)", file=sys.stderr)
+                break
             t0 = time.monotonic()
             fn()
             samples.append(round(time.monotonic() - t0, 3))
@@ -94,9 +103,9 @@ def main() -> None:
         all_samples[name] = samples
         print(f"[bench] {name}: {samples}", file=sys.stderr)
 
-    # cheap JVM-only queries first, heavy python-UDF queries last — sustained
-    # multi-worker memory churn degrades this host, so ordering keeps the
-    # cheap measurements clean; min-of-runs reporting covers the heavy ones
+    # cheap JVM-only queries first (clean measurements), then the flagship
+    # (its min-of-3 is the headline files/sec metric — protected from the
+    # budget by running before the heaviest query), minhash last
     timed("sessionize_events", lambda: _noop(em._q_sessionize(spark, SF_DIR)))
     timed("exact_dedup", lambda: _noop(em._q_exact_dedup(spark, SF_DIR)))
     timed("cosine_topk", lambda: _noop(em._q_cosine_topk(spark, SF_DIR)))
@@ -105,13 +114,13 @@ def main() -> None:
     timed("quality_scores", lambda: _noop(em._q_quality_scores(spark, SF_DIR)))
     timed("ivf_topk", lambda: _noop(em._q_ivf_topk(spark, SF_DIR)))
     timed(
-        "minhash_jaccard_pairs",
-        lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
+        "quality_filter_full",
+        lambda: _noop(quality_filter(spark.read.parquet(src_path))),
         runs=3,
     )
     timed(
-        "quality_filter_full",
-        lambda: _noop(quality_filter(spark.read.parquet(src_path))),
+        "minhash_jaccard_pairs",
+        lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
         runs=3,
     )
 
