@@ -110,7 +110,7 @@ Raw interleaved samples (s): {n} cores {[round(s,2) for s in s_lo]},
             "Scaling-efficiency evidence per BASELINE.json:north_rule (>=0.8\n"
             "from N to 4N). Correctness gates: F1>=0.99 vs the frozen labeler\n"
             "(tests/test_pipeline_f1.py), sha256 pass-through equality, DuckDB\n"
-            "oracle agreement 11/11 at sf0.01 (tools/check_oracles.py).\n\n"
+            "oracle agreement 24/24 at sf0.01 (tools/check_oracles.py).\n\n"
         )
         with open(out_path, "w") as f:
             f.write(header + section)
