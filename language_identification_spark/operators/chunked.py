@@ -24,6 +24,7 @@ INSIDE multibyte sequences and BETWEEN ``\\r`` and ``\\n``.
 
 from __future__ import annotations
 
+import unicodedata
 from collections.abc import Iterator
 
 import pandas as pd
@@ -66,10 +67,15 @@ def _utf8_incomplete_suffix(buf: bytes) -> int:
 
 
 def normalize_whole(data: bytes) -> str:
-    """Whole-document twin: decode + newline canonicalization (CRLF/CR→LF)."""
-    return data.decode("utf-8", errors="replace").replace("\r\n", "\n").replace(
+    """Whole-document twin: decode + newline canonicalization (CRLF/CR→LF)
+    + Unicode NFC (the reference's level-normalize analog, SURVEY §2.2 P11:
+    ``convert_audio_optimized.py:85`` normalizes amplitude; the text twin
+    normalizes combining-character representation so visually identical
+    strings hash identically)."""
+    text = data.decode("utf-8", errors="replace").replace("\r\n", "\n").replace(
         "\r", "\n"
     )
+    return unicodedata.normalize("NFC", text)
 
 
 def normalize_chunk_stream(chunks: Iterator[bytes]) -> str:
@@ -93,7 +99,11 @@ def normalize_chunk_stream(chunks: Iterator[bytes]) -> str:
         parts.append(carry.decode("utf-8", errors="replace"))
     if cr_pending:
         parts.append("\n")  # lone trailing CR normalizes to LF
-    return "".join(parts)
+    # NFC at assembly: a combining sequence can straddle chunk boundaries,
+    # so composition happens once over the assembled text — incremental NFC
+    # would need UAX#15 stream-safe segmentation for zero benefit here,
+    # since the operator's output granularity is the document
+    return unicodedata.normalize("NFC", "".join(parts))
 
 
 def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:

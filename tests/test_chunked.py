@@ -42,7 +42,8 @@ def test_boundary_cases():
 @settings(max_examples=150, deadline=None)
 @given(
     text=st.text(
-        alphabet=st.sampled_from("aé中\r\n🚀 "), min_size=0, max_size=40
+        alphabet=st.sampled_from("aé中\r\n🚀 \u0301\u1100\u1161\u11a8"),
+        min_size=0, max_size=40
     ),
     size=st.integers(min_value=1, max_value=9),
 )
@@ -66,3 +67,16 @@ def test_spark_operator_matches_scalar(spark):
     for doc_id, data in docs.items():
         assert got[doc_id][0] == normalize_whole(data), doc_id
     assert got[0][1] == len(_chunks(DOC, 3))
+
+
+def test_nfc_composition_across_chunk_boundary():
+    # 'e' + COMBINING ACUTE (U+0301) split across chunks must compose to é
+    data = "caf" .encode() + b"e" + "́x".encode()
+    whole = normalize_whole(data)
+    assert "café" in whole  # precomposed é
+    for size in (1, 2, 3, len(data)):
+        assert normalize_chunk_stream(iter(_chunks(data, size))) == whole
+    # decomposed and precomposed inputs converge to the same output
+    assert normalize_whole("café".encode()) == normalize_whole(
+        "café".encode()
+    )
