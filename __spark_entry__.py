@@ -1369,24 +1369,52 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the write-side ANN index for `sf_dir`.
+
+    Keyed on a fingerprint of the embeddings parquet (file names + sizes +
+    mtimes), not just the path: regenerating embeddings.parquet under the
+    same path invalidates the cache instead of silently reusing a stale
+    index (ADVICE r02 #5)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from language_identification_spark.operators.similarity import build_ann_index
+
+    src = f"{sf_dir}/embeddings.parquet"
+    h = hashlib.sha256()
+    for root, _dirs, files in sorted(os.walk(src)):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(root, fn))
+            h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    idx_dir = os.path.join(
+        tempfile.gettempdir(), f"ann_index_{h.hexdigest()[:16]}"
+    )
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        build_ann_index(spark.read.parquet(src), idx_dir)
+    return idx_dir
+
+
 def _q_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The write-side-index probe path: build the partitioned ANN index
     once (cached across calls), probe with partition pruning.  Results are
     identical to the scan-path ivf_topk, so it shares that oracle."""
-    import os
-    import tempfile
+    from language_identification_spark.operators.similarity import ivf_topk_indexed
 
-    from language_identification_spark.operators.similarity import (
-        build_ann_index,
-        ivf_topk_indexed,
+    return ivf_topk_indexed(spark, _ann_index_dir(spark, sf_dir), _QUERY_VEC, k=10).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
     )
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx_dir = os.path.join(tempfile.gettempdir(), f"ann_index_{tag}")
-    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
-        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        build_ann_index(emb, idx_dir)
-    return ivf_topk_indexed(spark, idx_dir, _QUERY_VEC, k=10).select(
+
+def _q_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH against the same write-side index (prefix partition
+    pruning + exact in-file bucket filter).  Results are identical to the
+    scan-path lsh_topk, so it shares that oracle."""
+    from language_identification_spark.operators.similarity import lsh_topk_indexed
+
+    return lsh_topk_indexed(spark, _ann_index_dir(spark, sf_dir), _QUERY_VEC, k=10).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
     )
@@ -1482,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_indexed": _q_ivf_topk_indexed,
+        "lsh_topk_indexed": _q_lsh_topk_indexed,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "scrub_documents": _q_scrub,
         "langid_documents": _q_langid,
@@ -1511,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
         "ivf_topk_indexed": _sql_ivf_topk(),
+        "lsh_topk_indexed": _sql_lsh_topk(),
         "cosine_dup_pairs": _sql_cosine_dup_pairs(),
         "scrub_documents": _sql_scrub(),
         "langid_documents": _sql_langid(),

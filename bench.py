@@ -9,11 +9,28 @@ scrub throughput (files/sec) over a synthetic source-code table at bench
 scale (FIXTURES.md F1, ~100k rows), generated once and cached under
 ``.bench/`` so generation cost never pollutes the measurement.  Results are
 consumed against BASELINE.md by the driver.
+
+Round-3 measurement hardening (VERDICT r02 "what's wrong" #1/#2):
+
+- The two HEADLINE queries (``quality_filter_full``,
+  ``minhash_jaccard_pairs``) are *protected*: the soft wall budget can
+  never reduce them below their full min-of-3 — a single degraded-host
+  sample can no longer become the headline.  The budget only trims
+  re-runs of the cheap single-run queries.
+- A host-phase probe (allocation-heavy multiprocessing kernel, the same
+  limiter ``BENCH/host_ceiling.py`` isolated) runs before measurement;
+  in a degraded phase the bench waits and re-probes (bounded) instead of
+  measuring garbage, and every probe reading is published in the JSON.
+- The ANN headline is the write-side-index probe path
+  (``ivf_topk_indexed``): index build timed once as ``ann_index_build``,
+  probes timed separately — the number now reflects the 100 TB design
+  instead of the full-scan+UDF fallback.
 """
 
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import sys
 import time
@@ -21,6 +38,50 @@ import time
 BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "100000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench")
+
+
+# --- host-phase probe -------------------------------------------------------
+#
+# docs/SCALE.md: this host intermittently serializes concurrent page-fault /
+# allocation handling, which slows allocation-heavy parallel work 5-15x with
+# zero code change.  A pure-CPU loop does NOT see it; an allocate-and-touch
+# kernel across a few processes does.  Nominal clean-phase wall for the probe
+# below is ~0.3-0.6s; degraded phases read multiples of that.
+
+def _probe_worker(n_mb: int) -> int:
+    import numpy as np
+
+    total = 0
+    for _ in range(n_mb):
+        a = np.ones(1 << 17, dtype=np.float64)  # 1 MiB, first-touch faults
+        total += int(a[0])
+    return total
+
+
+def host_phase_probe(procs: int = 8, n_mb: int = 48) -> float:
+    """Wall seconds for `procs` workers each faulting `n_mb` MiB."""
+    t0 = time.monotonic()
+    with mp.get_context("spawn").Pool(procs) as pool:
+        pool.map(_probe_worker, [n_mb] * procs)
+    return round(time.monotonic() - t0, 3)
+
+
+def wait_for_clean_phase(
+    threshold_s: float, max_wait_s: float, sleep_s: float = 20.0
+) -> list[float]:
+    """Probe; if degraded, sleep+re-probe until clean or the wait budget is
+    spent.  Returns every probe reading (published in the bench JSON)."""
+    readings = [host_phase_probe()]
+    t0 = time.monotonic()
+    while readings[-1] > threshold_s and time.monotonic() - t0 < max_wait_s:
+        print(
+            f"[bench] host probe {readings[-1]}s > {threshold_s}s — degraded "
+            f"phase, waiting {sleep_s}s",
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
+        readings.append(host_phase_probe())
+    return readings
 
 
 def _source_files_parquet(spark) -> str:
@@ -52,6 +113,14 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     t_start = time.monotonic()
+
+    # pre-flight host-phase gate (before the JVM exists, so the probe
+    # measures the host, not Spark)
+    probe_threshold = float(os.environ.get("BENCH_PROBE_THRESHOLD_S", "1.5"))
+    probe_wait = float(os.environ.get("BENCH_PROBE_MAX_WAIT_S", "120"))
+    probes = wait_for_clean_phase(probe_threshold, probe_wait)
+    print(f"[bench] host probes: {probes}", file=sys.stderr)
+
     spark = get_spark("bench", cores=cpus)
     src_path = _source_files_parquet(spark)
     print(f"[bench] setup: {time.monotonic()-t_start:.1f}s", file=sys.stderr)
@@ -81,17 +150,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
-    # soft wall budget: extra min-of-N re-runs are skipped once the bench has
-    # been measuring this long, so one degraded-host-phase outlier (observed
-    # 330s vs 28s steady on the same query) can never run the bench into a
-    # harness timeout.  Every query always gets at least one run.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    # soft wall budget: extra min-of-N re-runs of UNPROTECTED queries are
+    # skipped once the bench has been measuring this long, so one degraded-
+    # host-phase outlier can never run the bench into a harness timeout.
+    # PROTECTED queries (the two headlines) always get their full runs —
+    # the budget exists to protect their min-of-N, not to sacrifice it
+    # (VERDICT r02 #1).
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     t_meas = time.monotonic()
 
-    def timed(name: str, fn, runs: int = 1) -> None:
+    def timed(name: str, fn, runs: int = 1, protected: bool = False) -> None:
         samples = []
         for i in range(runs):
-            if i > 0 and time.monotonic() - t_meas > budget_s:
+            if (
+                not protected
+                and i > 0
+                and time.monotonic() - t_meas > budget_s
+            ):
                 print(f"[bench] {name}: budget hit, {i} run(s)", file=sys.stderr)
                 break
             t0 = time.monotonic()
@@ -103,9 +178,54 @@ def main() -> None:
         all_samples[name] = samples
         print(f"[bench] {name}: {samples}", file=sys.stderr)
 
-    # cheap JVM-only queries first (clean measurements), then the flagship
-    # (its min-of-3 is the headline files/sec metric — protected from the
-    # budget by running before the heaviest query), minhash last
+    # HEADLINES FIRST (protected min-of-3, measured in the cleanest part of
+    # the run, right after warmup), then the cheap single-run queries — the
+    # budget can only ever trim the cheap tail.
+    timed(
+        "quality_filter_full",
+        lambda: _noop(quality_filter(spark.read.parquet(src_path))),
+        runs=3,
+        protected=True,
+    )
+    timed(
+        "minhash_jaccard_pairs",
+        lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
+        runs=3,
+        protected=True,
+    )
+
+    # ANN: the write-side index is the 100 TB design — time the one-off
+    # build, then the partition-pruned probes (min-of-3, they are cheap).
+    # The unindexed scan path stays for comparison.
+    import shutil
+    import tempfile
+
+    idx_dir = os.path.join(tempfile.gettempdir(), "bench_ann_index")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    from language_identification_spark.operators.similarity import build_ann_index
+
+    timed(
+        "ann_index_build",
+        lambda: build_ann_index(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), idx_dir
+        ),
+    )
+    from language_identification_spark.operators.similarity import (
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+    )
+
+    timed(
+        "ivf_topk_indexed",
+        lambda: _noop(ivf_topk_indexed(spark, idx_dir, em._QUERY_VEC, k=10)),
+        runs=3,
+    )
+    timed(
+        "lsh_topk_indexed",
+        lambda: _noop(lsh_topk_indexed(spark, idx_dir, em._QUERY_VEC, k=10)),
+        runs=3,
+    )
+
     timed("sessionize_events", lambda: _noop(em._q_sessionize(spark, SF_DIR)))
     timed("exact_dedup", lambda: _noop(em._q_exact_dedup(spark, SF_DIR)))
     timed("cosine_topk", lambda: _noop(em._q_cosine_topk(spark, SF_DIR)))
@@ -113,16 +233,6 @@ def main() -> None:
     timed("token_stats", lambda: _noop(em._q_token_stats(spark, SF_DIR)))
     timed("quality_scores", lambda: _noop(em._q_quality_scores(spark, SF_DIR)))
     timed("ivf_topk", lambda: _noop(em._q_ivf_topk(spark, SF_DIR)))
-    timed(
-        "quality_filter_full",
-        lambda: _noop(quality_filter(spark.read.parquet(src_path))),
-        runs=3,
-    )
-    timed(
-        "minhash_jaccard_pairs",
-        lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
-        runs=3,
-    )
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)
@@ -138,6 +248,8 @@ def main() -> None:
                 "bench_rows": BENCH_ROWS,
                 "cores": cpus,
                 "samples": all_samples,
+                "host_probes_s": probes,
+                "probe_threshold_s": probe_threshold,
             }
         )
     )

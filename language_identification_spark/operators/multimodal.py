@@ -65,8 +65,24 @@ FEATURE_DIM = 16
 
 
 def _decode(kind: str, payload: bytes) -> np.ndarray:
-    """Decode stub.  A real deployment plugs PIL/librosa/av here; the
-    deterministic fake keeps the end-to-end plumbing testable offline."""
+    """Decode a payload to a FEATURE_DIM feature vector.
+
+    Audio WAV payloads decode for REAL (stdlib ``wave`` + numpy, see
+    ``operators/wav.py``): per-segment RMS energy over FEATURE_DIM equal
+    time slices of the mono signal — the deterministic acoustic envelope.
+    Image/video codecs are genuinely absent from this container, so those
+    kinds keep the deterministic hash fake (clearly a stub, not silent)."""
+    if kind == "audio" and payload and bytes(payload).startswith(b"RIFF"):
+        from language_identification_spark.operators.wav import decode_pcm, to_mono
+
+        mono = to_mono(decode_pcm(bytes(payload))[0])
+        if len(mono) >= FEATURE_DIM:
+            # trailing remainder (< FEATURE_DIM samples) is dropped so every
+            # segment has equal length — vectorized reshape, no Python loop
+            seg = len(mono) // FEATURE_DIM
+            segs = mono[: seg * FEATURE_DIM].reshape(FEATURE_DIM, seg)
+            return np.sqrt((segs * segs).mean(axis=1)).astype(np.float32)
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
     if HAVE_PIL and kind == "image":  # pragma: no cover
         raise NotImplementedError("real image decode not wired in this sandbox")
     # deterministic fake: payload bytes -> fixed-dim feature via hashing
