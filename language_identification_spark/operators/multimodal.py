@@ -75,14 +75,18 @@ def _decode(kind: str, payload: bytes) -> np.ndarray:
     if kind == "audio" and payload and bytes(payload).startswith(b"RIFF"):
         from language_identification_spark.operators.wav import decode_pcm, to_mono
 
-        mono = to_mono(decode_pcm(bytes(payload))[0])
-        if len(mono) >= FEATURE_DIM:
-            # trailing remainder (< FEATURE_DIM samples) is dropped so every
-            # segment has equal length — vectorized reshape, no Python loop
-            seg = len(mono) // FEATURE_DIM
-            segs = mono[: seg * FEATURE_DIM].reshape(FEATURE_DIM, seg)
-            return np.sqrt((segs * segs).mean(axis=1)).astype(np.float32)
-        return np.zeros(FEATURE_DIM, dtype=np.float32)
+        try:
+            mono = to_mono(decode_pcm(bytes(payload))[0])
+        except Exception:  # noqa: BLE001 — corrupt payload: hash-fake fallback,
+            mono = None  # never a job failure at 100 TB
+        if mono is not None:
+            if len(mono) >= FEATURE_DIM:
+                # trailing remainder (< FEATURE_DIM samples) is dropped so
+                # every segment has equal length — vectorized reshape
+                seg = len(mono) // FEATURE_DIM
+                segs = mono[: seg * FEATURE_DIM].reshape(FEATURE_DIM, seg)
+                return np.sqrt((segs * segs).mean(axis=1)).astype(np.float32)
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
     if HAVE_PIL and kind == "image":  # pragma: no cover
         raise NotImplementedError("real image decode not wired in this sandbox")
     # deterministic fake: payload bytes -> fixed-dim feature via hashing
