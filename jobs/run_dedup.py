@@ -1,0 +1,77 @@
+"""spark-submit entry point for near-duplicate mining + grouping.
+
+    spark-submit --py-files /tmp/pipeline.zip jobs/run_dedup.py \
+        --source /path/to/documents_parquet \
+        --out /path/to/output_root \
+        [--text-col text] [--id-col doc_id] [--threshold 0.5]
+
+The cluster defaults differ from the in-session ones on purpose:
+
+- ``jaccard_pairs`` runs with ``staging_path=<out>/features`` — the feature
+  table (~100x smaller than content) is staged to parquet, not persist()ed:
+  a staged table survives executor loss without lineage recompute, which is
+  the right trade at 100 TB (VERDICT r02 "wrong" #4).
+- transitive grouping uses ``connected_components_star`` (large-star/
+  small-star, O(log n) rounds): a web-scale dup graph can contain chain-
+  shaped or giant components (boilerplate families) where min-label
+  propagation needs O(diameter) rounds.
+
+Outputs: ``<out>/pairs`` (id_a, id_b, jaccard) and ``<out>/groups``
+(node, comp) parquet tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--app-name", default="near-dup")
+    args = ap.parse_args()
+
+    # plain builder (no master override) so spark-submit controls deployment
+    spark = SparkSession.builder.appName(args.app_name).getOrCreate()
+
+    from language_identification_spark.operators.dedup import (
+        connected_components_star,
+        jaccard_pairs,
+    )
+
+    src = spark.read.parquet(args.source)
+    pairs = jaccard_pairs(
+        src,
+        args.text_col,
+        args.id_col,
+        threshold=args.threshold,
+        staging_path=f"{args.out}/features",
+    )
+    pairs.write.mode("overwrite").parquet(f"{args.out}/pairs")
+    pairs = spark.read.parquet(f"{args.out}/pairs")
+
+    groups = connected_components_star(pairs)
+    groups.write.mode("overwrite").parquet(f"{args.out}/groups")
+    groups = spark.read.parquet(f"{args.out}/groups")
+
+    print(
+        json.dumps(
+            {
+                "pairs": pairs.count(),
+                "nodes": groups.count(),
+                "components": groups.select("comp").distinct().count(),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

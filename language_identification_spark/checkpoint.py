@@ -41,6 +41,7 @@ input but replaces n_buckets full scans.
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import threading
@@ -70,6 +71,19 @@ def bucket_col(n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(n_buckets))
 
 
+def _source_fingerprint(src: DataFrame) -> str:
+    """Stable fingerprint of a source DataFrame: schema DDL + analyzed plan
+    with per-session expression ids (``#123``) stripped.  Catches both a
+    changed source table and a changed upstream query on resume."""
+    import hashlib
+    import re
+
+    plan = re.sub(r"#\d+", "#", str(src._jdf.queryExecution().analyzed()))
+    return hashlib.sha256(
+        (src.schema.simpleString() + "\n" + plan).encode()
+    ).hexdigest()
+
+
 def stage_source(
     spark: SparkSession, src: DataFrame, staging_dir: str, n_buckets: int
 ) -> DataFrame:
@@ -77,14 +91,33 @@ def stage_source(
 
     Idempotent: an existing complete staging table (``_SUCCESS`` marker) is
     reused on resume, so a crashed run never re-scans the source either.
+    A metadata file written alongside records the n_buckets and a source
+    fingerprint; resuming with a different bucket count (which would
+    silently drop every row staged into partitions >= n_buckets) or a
+    different source raises instead of corrupting the run (ADVICE r02).
     """
-    if not os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+    meta_path = os.path.join(staging_dir, "_staging_meta.json")
+    meta = {"n_buckets": n_buckets, "source": _source_fingerprint(src)}
+    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        prev = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"staging table at {staging_dir} was built with "
+                f"{prev} but this run asked for {meta}; delete the staging "
+                "dir (or point out_root elsewhere) to re-stage"
+            )
+    else:
         (
             src.withColumn("_bucket", bucket_col(n_buckets))
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(staging_dir)
         )
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
     return spark.read.parquet(staging_dir)
 
 

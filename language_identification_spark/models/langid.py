@@ -37,15 +37,20 @@ SOFTMAX_SCALE = 12.0  # sharpness of mean-loglik → confidence
 # float64 view of each model's weight matrix, built once per process — the
 # models are process-lifetime singletons (models/registry.py), and
 # rebuilding the ~1 MB matrix per 512-row chunk was ~200 MB of pure
-# allocator churn per 100k rows on a host that serializes page faults
-_LOGP64_CACHE: dict[int, "np.ndarray"] = {}
+# allocator churn per 100k rows on a host that serializes page faults.
+# The cache value holds the SOURCE array too: keying on id() alone would go
+# stale if an ad-hoc model's array were garbage-collected and a new array
+# reused the same id (ADVICE r02) — the identity check below makes that
+# impossible.
+_LOGP64_CACHE: dict[int, tuple["np.ndarray", "np.ndarray"]] = {}
 
 
 def logp64_of(logp: "np.ndarray") -> "np.ndarray":
-    m = _LOGP64_CACHE.get(id(logp))
-    if m is None:
-        m = logp.astype(np.float64)
-        _LOGP64_CACHE[id(logp)] = m
+    hit = _LOGP64_CACHE.get(id(logp))
+    if hit is not None and hit[0] is logp:
+        return hit[1]
+    m = logp.astype(np.float64)
+    _LOGP64_CACHE[id(logp)] = (logp, m)
     return m
 
 

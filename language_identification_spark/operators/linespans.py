@@ -60,19 +60,26 @@ def _line_spans_batch(content: pd.Series) -> pd.Series:
             block_texts.append("\n".join(lines[s:e]).lower().encode("utf-8"))
             block_doc.append(i)
             block_bounds.append((s, e))
-    out: list[list[dict]] = [[] for _ in range(len(content))]
     if block_texts:
         idx, conf, _ll = lid.predict_batch(block_texts)
         labels = np.array([""] + list(lid.langs))[idx + 1]
-        for j, d in enumerate(block_doc):
-            out[d].append(
-                {
-                    "start_line": block_bounds[j][0],
-                    "end_line": block_bounds[j][1],
-                    "label": str(labels[j]),
-                    "confidence": float(conf[j]),
-                }
-            )
+        # one flat record pass + per-doc slicing (block_doc is nondecreasing
+        # by construction) — no per-block nested-list appends
+        recs = [
+            {
+                "start_line": se[0],
+                "end_line": se[1],
+                "label": str(lbl),
+                "confidence": float(c),
+            }
+            for se, lbl, c in zip(block_bounds, labels, conf)
+        ]
+        bounds = np.searchsorted(
+            np.asarray(block_doc), np.arange(len(content) + 1)
+        )
+        out = [recs[bounds[i] : bounds[i + 1]] for i in range(len(content))]
+    else:
+        out = [[] for _ in range(len(content))]
     return pd.Series(out, index=content.index)
 
 

@@ -153,3 +153,21 @@ def test_salting_breaks_mega_repo_skew(spark, src):
         src.groupBy("repo").count().orderBy(F.desc("count")).first()["count"]
     )
     assert by_repo > src.count() * 0.25
+
+
+def test_stage_source_rejects_bucket_count_change(spark, src, tmp_path):
+    """Resuming a staging table with a different n_buckets would silently
+    drop rows staged into partitions >= n_buckets (ADVICE r02) — it must
+    raise instead; same n_buckets resumes fine; a changed SOURCE raises too."""
+    import pytest as _pytest
+
+    from language_identification_spark.checkpoint import stage_source
+
+    root = str(tmp_path / "staging")
+    stage_source(spark, src, root, n_buckets=4)
+    # same source + same buckets: idempotent resume
+    assert stage_source(spark, src, root, n_buckets=4).count() == src.count()
+    with _pytest.raises(ValueError, match="staging table"):
+        stage_source(spark, src, root, n_buckets=2)
+    with _pytest.raises(ValueError, match="staging table"):
+        stage_source(spark, src.limit(3), root, n_buckets=4)

@@ -80,3 +80,49 @@ def test_connected_components(spark):
     got = {r.node: r.comp for r in connected_components(pairs).collect()}
     # {1,2,3,9} form one component labeled by its minimum, {5,6} another
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star contraction agrees with min-label propagation on random graphs
+    and on the basic fixture."""
+    import random
+
+    from language_identification_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components_star(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(70)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    prop = {r.node: r.comp for r in connected_components(df).collect()}
+    star = {r.node: r.comp for r in connected_components_star(df).collect()}
+    assert star == prop
+
+
+def test_connected_components_star_handles_long_chain(spark):
+    """A 60-node chain (diameter 59): propagation at max_iter=25 must RAISE
+    (not silently mislabel — ADVICE r02), star converges in O(log n)."""
+    import pytest as _pytest
+
+    from language_identification_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "id_a long, id_b long"
+    )
+    got = {r.node: r.comp for r in connected_components_star(chain).collect()}
+    assert got == {i: 0 for i in range(60)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10)
