@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (24/24) — including the model/LSH stages, re-derived in SQL
+EVERY query (26/26) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1420,6 +1420,112 @@ def _q_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def _synth_wav_batches(batches):
+    """Deterministic per-doc WAV synthesis: rate/channels/width/frames are
+    pure functions of doc_id, content is a doc_id-seeded sine.  Runs inside
+    mapInPandas so payload bytes are born ON the executors."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            rate = _WAV_RATES[did % 4]
+            channels = 1 + did % 2
+            width = (1, 2, 3, 4)[did % 4]
+            n = 800 + (did % 7) * 377
+            t = np.arange(n, dtype=np.float64) / rate
+            x = 0.5 * np.sin(2 * np.pi * (100.0 + did) * t)
+            flat = np.repeat(x, channels)
+            if width == 1:
+                raw = (np.round(flat * 127) + 128).astype(np.uint8).tobytes()
+            elif width == 2:
+                raw = np.round(flat * 32767).astype("<i2").tobytes()
+            elif width == 3:
+                ints = np.round(flat * ((1 << 23) - 1)).astype(np.int64)
+                ints = np.where(ints < 0, ints + (1 << 24), ints)
+                b = np.zeros((len(ints), 3), dtype=np.uint8)
+                b[:, 0] = ints & 0xFF
+                b[:, 1] = (ints >> 8) & 0xFF
+                b[:, 2] = (ints >> 16) & 0xFF
+                raw = b.tobytes()
+            else:
+                raw = np.round(flat * ((1 << 31) - 1)).astype("<i4").tobytes()
+            buf = io.BytesIO()
+            with _wave.open(buf, "wb") as wf:
+                wf.setnchannels(channels)
+                wf.setsampwidth(width)
+                wf.setframerate(rate)
+                wf.writeframes(raw)
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame(
+            {"media_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+def _q_wav_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 offline media converter, oracle-grade: synthesize one WAV per doc
+    (rate/channels/width/frames all pure functions of doc_id), run the REAL
+    converter (mono / 16 kHz / 16-bit / -3 dBFS), return the output props.
+    The oracle re-derives the expected frame math in SQL — 16000/22050 and
+    16000/44100 reduce to odd denominators, so round() half-cases cannot
+    occur and banker's-vs-away rounding differences are unreachable."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from language_identification_spark.operators.wav import convert_audio
+
+    media = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("long"))
+        .filter(F.col("doc_id") < 200)
+        .mapInPandas(
+            _synth_wav_batches,
+            StructType(
+                [
+                    StructField("media_id", LongType()),
+                    StructField("payload", BinaryType()),
+                ]
+            ),
+        )
+    )
+    return convert_audio(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("sample_width").cast("long").alias("sample_width"),
+    )
+
+
+_SQL_WAV_CONVERT = """
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+         800 + (doc_id % 7) * 377 AS n_src
+  FROM documents WHERE doc_id < 200
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(GREATEST(1, round(n_src * 16000.0 / rate)) AS BIGINT) AS n_frames,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(2 AS BIGINT) AS sample_width
+FROM m
+"""
+
+
 def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.similarity import cosine_dup_pairs
 
@@ -1511,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "ivf_topk_indexed": _q_ivf_topk_indexed,
         "lsh_topk_indexed": _q_lsh_topk_indexed,
+        "wav_convert_props": _q_wav_convert,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
         "scrub_documents": _q_scrub,
         "langid_documents": _q_langid,
@@ -1541,6 +1648,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _sql_ivf_topk(),
         "ivf_topk_indexed": _sql_ivf_topk(),
         "lsh_topk_indexed": _sql_lsh_topk(),
+        "wav_convert_props": _SQL_WAV_CONVERT,
         "cosine_dup_pairs": _sql_cosine_dup_pairs(),
         "scrub_documents": _sql_scrub(),
         "langid_documents": _sql_langid(),
