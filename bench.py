@@ -159,7 +159,13 @@ def main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     t_meas = time.monotonic()
 
-    def timed(name: str, fn, runs: int = 1, protected: bool = False) -> None:
+    def timed(
+        name: str,
+        fn,
+        runs: int = 1,
+        protected: bool = False,
+        extra_until_stable: int = 0,
+    ) -> None:
         samples = []
         for i in range(runs):
             if (
@@ -168,6 +174,17 @@ def main() -> None:
                 and time.monotonic() - t_meas > budget_s
             ):
                 print(f"[bench] {name}: budget hit, {i} run(s)", file=sys.stderr)
+                break
+            t0 = time.monotonic()
+            fn()
+            samples.append(round(time.monotonic() - t0, 3))
+        # extra runs while the samples are still materially improving (the
+        # local[32] first-touch pathology can decay over >3 passes); these
+        # DO respect the budget — only the base runs are unconditional
+        for _ in range(extra_until_stable):
+            if time.monotonic() - t_meas > budget_s:
+                break
+            if not samples[-1] < 0.85 * min(samples[:-1] or [float("inf")]):
                 break
             t0 = time.monotonic()
             fn()
@@ -186,12 +203,14 @@ def main() -> None:
         lambda: _noop(quality_filter(spark.read.parquet(src_path))),
         runs=3,
         protected=True,
+        extra_until_stable=3,
     )
     timed(
         "minhash_jaccard_pairs",
         lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
         runs=3,
         protected=True,
+        extra_until_stable=3,
     )
 
     # ANN: the write-side index is the 100 TB design — time the one-off

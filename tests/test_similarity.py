@@ -102,6 +102,9 @@ def test_indexed_probes_match_scan_paths(spark, emb, tmp_path):
         "PartitionFilters", 1
     )[1][:200], ivf_plan
     assert "ArrowEvalPython" not in ivf_plan
+    # lsh probe filters push down to the parquet scan, where the per-cell
+    # sort on (lsh_prefix, lsh_bucket) turns them into row-group skips
     lsh_plan = idx_lsh_df._jdf.queryExecution().executedPlan().toString()
-    assert "lsh_prefix" in lsh_plan.split("PartitionFilters", 1)[1][:300], lsh_plan
+    assert "lsh_prefix" in lsh_plan.split("PushedFilters", 1)[1][:300], lsh_plan
+    assert "lsh_bucket" in lsh_plan.split("PushedFilters", 1)[1][:300], lsh_plan
     assert "ArrowEvalPython" not in lsh_plan
