@@ -34,21 +34,41 @@ spark = get_spark("scaling", cores=cores)
 src = {src!r}
 def noop(df): df.write.format("noop").mode("overwrite").save()
 noop(quality_filter(spark.read.parquet(src)))  # full warmup pass
-t0 = time.monotonic(); noop(quality_filter(spark.read.parquet(src)))
+# steady state: this sandbox's per-worker first-touch cost decays over
+# SEVERAL passes (bench.py measured 74.8 -> 7.7 -> 6.3 -> 3.7 -> 3.2 -> 3.1 s
+# at 32 workers) — a single timed pass after one warmup undersells a
+# long-running executor, which is the regime the north rule describes.
+# Keep timing until a pass stops improving the min by >10%; report the min
+# and every sample.
+walls = []
+stale = 0
+for _ in range(8):
+    t0 = time.monotonic(); noop(quality_filter(spark.read.parquet(src)))
+    walls.append(round(time.monotonic() - t0, 3))
+    # converged only after TWO consecutive passes fail to improve the min
+    # by >5% — near steady state the decay is gradual and a single flat
+    # pass is not yet the floor
+    if len(walls) >= 2 and walls[-1] >= 0.95 * min(walls[:-1]):
+        stale += 1
+        if stale >= 2:
+            break
+    else:
+        stale = 0
 print("RESULT " + json.dumps({{"cores": cores,
-      "wall": time.monotonic() - t0}}))
+      "wall": min(walls), "walls": walls}}))
 spark.stop()
 """
 
 
-def run_level(cores: int, src: str) -> float:
+def run_level(cores: int, src: str) -> tuple[float, list[float]]:
     code = CHILD.format(repo=REPO, cores=cores, src=src)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return float(json.loads(line[len("RESULT "):])["wall"])
+            r = json.loads(line[len("RESULT "):])
+            return float(r["wall"]), list(r["walls"])
     raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stderr[-3000:]}")
 
 
@@ -85,11 +105,17 @@ def main() -> None:
     n, n4 = args.n, 4 * args.n
     s_lo: list[float] = []
     s_hi: list[float] = []
+    walls_lo: list[list[float]] = []
+    walls_hi: list[list[float]] = []
     probes: list[list[float]] = []
     for _ in range(args.runs):
         probes.append(wait_for_clean_phase(thr_probe, wait_probe))
-        s_lo.append(run_level(n, src))
-        s_hi.append(run_level(n4, src))
+        w, ws = run_level(n, src)
+        s_lo.append(w)
+        walls_lo.append(ws)
+        w, ws = run_level(n4, src)
+        s_hi.append(w)
+        walls_hi.append(ws)
     w_lo, w_hi = min(s_lo), min(s_hi)
     thr_lo = args.rows / w_lo
     thr_hi = args.rows / w_hi
@@ -109,8 +135,10 @@ per run, one full warmup pass then one timed pass per run, per-level MIN of
 
 **Scaling efficiency = (thr_4N / thr_N) / 4 = {eff:.3f}**
 
-Raw interleaved samples (s): {n} cores {[round(s,2) for s in s_lo]},
-{n4} cores {[round(s,2) for s in s_hi]}.
+Raw interleaved per-run steady-state walls (s): {n} cores
+{[round(s,2) for s in s_lo]}, {n4} cores {[round(s,2) for s in s_hi]}.
+All per-pass walls within each child JVM (each run times passes until
+stable): {n} cores {walls_lo}, {n4} cores {walls_hi}.
 Pre-round host probes (s, allocation-heavy mp kernel; clean phase < 1.5):
 {probes}.
 
@@ -130,7 +158,8 @@ Pre-round host probes (s, allocation-heavy mp kernel; clean phase < 1.5):
         with open(out_path, "w") as f:
             f.write(header + section)
     print(json.dumps({"n": n, "eff": round(eff, 3), "thr_lo": round(thr_lo),
-                      "thr_hi": round(thr_hi), "probes": probes}))
+                      "thr_hi": round(thr_hi), "probes": probes,
+                      "walls_lo": walls_lo, "walls_hi": walls_hi}))
 
 
 if __name__ == "__main__":
