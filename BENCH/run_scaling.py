@@ -109,10 +109,17 @@ def main() -> None:
     walls_hi: list[list[float]] = []
     probes: list[list[float]] = []
     for _ in range(args.runs):
-        probes.append(wait_for_clean_phase(thr_probe, wait_probe))
+        # probe immediately before EACH child, not once per round: the
+        # degraded phase can arrive during the first (long) child and then
+        # tax only the second, which skews the ratio (observed: 2-core
+        # stable at 27s across runs while 8-core children caught mid-run
+        # 90-190s windows their round's probe had missed)
+        p1 = wait_for_clean_phase(thr_probe, wait_probe)
         w, ws = run_level(n, src)
         s_lo.append(w)
         walls_lo.append(ws)
+        p2 = wait_for_clean_phase(thr_probe, wait_probe)
+        probes.append(p1 + p2)
         w, ws = run_level(n4, src)
         s_hi.append(w)
         walls_hi.append(ws)
