@@ -246,11 +246,68 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 LSH_PREFIX_BITS = 6  # LSH partition dirs = 2^6; full bucket stays a column
+_CENTROID_FILE = "_ivf_centroids.npy"
+
+
+def _cell_assign_udf(centroids: np.ndarray):
+    """Nearest-centroid assignment UDF over an explicit centroid matrix
+    (closure-shipped to executors — k×d floats, a micro-broadcast)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cells = ((mat / norms) @ C[:, : mat.shape[1]].T).argmax(axis=1)
+        return pd.Series(cells.astype(np.int64), index=vecs.index)
+
+    return pandas_udf(_assign, LongType())
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = IVF_K,
+    iters: int = 4,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained with DataFrame ops.
+
+    Data-independent random centroids are the worst case for IVF recall on
+    clustered data (real embeddings ARE clustered); Lloyd iterations adapt
+    the cells to the data.  Per iteration: one vectorized assignment UDF
+    pass + ONE groupBy on (cell, dim) whose result is k×d scalars — row
+    data never reaches the driver, so the loop costs one shuffle of d
+    doubles per row per iteration regardless of corpus size.  Empty cells
+    keep their previous centroid.  Deterministic: seeded init from the
+    module's fixed-seed centroid set, no sampling.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    cent = _CENTROIDS[:k, :dim].copy()
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = _cell_assign_udf(cent)
+        agg = (
+            df.select(
+                assign(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        new = cent.copy()
+        for r in agg:
+            new[r["cell"], r["pos"]] = r["m"]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = new / norms
+    return cent
 
 
 def build_ann_index(
     df: DataFrame, out_dir: str,
     vec_col: str = "embedding", id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> str:
     """ONE pass over the vectors writing a probe-prunable index table.
 
@@ -269,9 +326,11 @@ def build_ann_index(
     Sorted-column row-group skipping gives the same pruning power with 32
     directories and bounded file counts at every scale.
     """
+    cent = _CENTROIDS if centroids is None else np.asarray(centroids)
+    cell_udf = ivf_cell_udf if centroids is None else _cell_assign_udf(cent)
     indexed = (
         df.select(F.col(id_col), F.col(vec_col))
-        .withColumn("ivf_cell", ivf_cell_udf(F.col(vec_col)))
+        .withColumn("ivf_cell", cell_udf(F.col(vec_col)))
         .withColumn("lsh_bucket", lsh_bucket_udf(F.col(vec_col)))
         .withColumn(
             "lsh_prefix",
@@ -287,6 +346,12 @@ def build_ann_index(
         .partitionBy("ivf_cell")
         .parquet(out_dir)
     )
+    # the quantizer travels WITH the index (underscore name: invisible to
+    # parquet readers) so probes always rank cells with the same centroids
+    # the rows were assigned under
+    import os
+
+    np.save(os.path.join(out_dir, _CENTROID_FILE), cent)
     return out_dir
 
 
@@ -296,10 +361,18 @@ def ivf_topk_indexed(
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF probe against the write-side index: partition pruning at the
-    source, no per-row Python.  Results identical to ``ivf_topk``."""
+    source, no per-row Python.  Results identical to ``ivf_topk`` when the
+    index was built with the default quantizer; an index built with
+    ``train_ivf_centroids`` output is probed with its own saved centroids."""
+    import os
+
+    cent = _CENTROIDS
+    cfile = os.path.join(index_dir, _CENTROID_FILE)
+    if os.path.exists(cfile):
+        cent = np.load(cfile)
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    probes = np.argsort(-(_CENTROIDS[:, : len(q)] @ qn))[:nprobe].tolist()
+    probes = np.argsort(-(cent[:, : len(q)] @ qn))[:nprobe].tolist()
     df = spark.read.parquet(index_dir)
     return (
         df.filter(F.col("ivf_cell").isin(*[int(p) for p in probes]))

@@ -108,3 +108,51 @@ def test_indexed_probes_match_scan_paths(spark, emb, tmp_path):
     assert "lsh_prefix" in lsh_plan.split("PushedFilters", 1)[1][:300], lsh_plan
     assert "lsh_bucket" in lsh_plan.split("PushedFilters", 1)[1][:300], lsh_plan
     assert "ArrowEvalPython" not in lsh_plan
+
+
+def test_trained_ivf_centroids_improve_recall_on_clustered_data(spark, tmp_path):
+    """Spherical k-means quantizer: on clustered data (the realistic
+    embedding regime) trained cells give better recall@10 than the
+    data-independent random centroids, probing the same fraction."""
+    from language_identification_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(123)
+    centers = rng.standard_normal((8, DIM)) * 4.0
+    mat = np.vstack(
+        [c + rng.standard_normal((50, DIM)) for c in centers]
+    ).astype(np.float32)
+    rows = [(int(i), [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cent = train_ivf_centroids(df, k=8, iters=4)
+    assert cent.shape == (8, DIM)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+
+    idx_default = str(tmp_path / "idx_default")
+    idx_trained = str(tmp_path / "idx_trained")
+    build_ann_index(df, idx_default)
+    build_ann_index(df, idx_trained, centroids=cent)
+
+    queries = [mat[i * 50] + 0.1 for i in range(8)]
+    rec_default = rec_trained = 0
+    for q in queries:
+        q = [float(x) for x in q]
+        truth = set(_numpy_topk(mat, np.asarray(q, dtype=np.float64), 10))
+        got_d = {
+            r.vec_id
+            for r in ivf_topk_indexed(spark, idx_default, q, k=10, nprobe=2).collect()
+        }
+        got_t = {
+            r.vec_id
+            for r in ivf_topk_indexed(spark, idx_trained, q, k=10, nprobe=2).collect()
+        }
+        rec_default += len(got_d & truth)
+        rec_trained += len(got_t & truth)
+    # trained cells align with the true clusters: near-perfect recall at
+    # nprobe=2/8; random centroids shred clusters across cells
+    assert rec_trained >= rec_default
+    assert rec_trained >= 70  # >= 87% of 80
