@@ -150,7 +150,9 @@ Pre-round host probes (s, allocation-heavy mp kernel; clean phase < 1.5):
 {probes}.
 
 """
-    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # raw run sections land in SCALING_RUNS.md; BENCH/BASELINE.md is the
+    # authored summary and is never clobbered by the harness
+    out_path = os.path.join(REPO, "BENCH", "SCALING_RUNS.md")
     if args.append and os.path.exists(out_path):
         with open(out_path, "a") as f:
             f.write("\n" + section)
