@@ -10,7 +10,7 @@ docs/SCALE.md), so the two levels are INTERLEAVED round-by-round
 on this host only ever adds time.  Each subprocess does a full warmup pass,
 then one timed pass: the long-running-executor regime the rule is about.
 
-Writes BENCH/BASELINE.md.  Usage: python BENCH/run_scaling.py [--rows 100000]
+Writes BENCH/SCALING_RUNS.md (raw sections; BASELINE.md is authored).  Usage: python BENCH/run_scaling.py [--rows 100000]
 """
 
 from __future__ import annotations
@@ -77,7 +77,7 @@ def main() -> None:
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n", type=int, default=8, help="N cores (4N runs too)")
-    ap.add_argument("--append", action="store_true", help="append to BASELINE.md")
+    ap.add_argument("--append", action="store_true", help="append to SCALING_RUNS.md")
     args = ap.parse_args()
 
     src = os.path.join(REPO, ".bench", f"source_files_{args.rows}.parquet")
@@ -158,7 +158,7 @@ Pre-round host probes (s, allocation-heavy mp kernel; clean phase < 1.5):
             f.write("\n" + section)
     else:
         header = (
-            "# BENCH/BASELINE.md — measured results\n\n"
+            "# BENCH/SCALING_RUNS.md — raw harness outputs\n\n"
             "Scaling-efficiency evidence per BASELINE.json:north_rule (>=0.8\n"
             "from N to 4N). Correctness gates: F1>=0.99 vs the frozen labeler\n"
             "(tests/test_pipeline_f1.py), sha256 pass-through equality, DuckDB\n"
