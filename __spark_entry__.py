@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (26/26) — including the model/LSH stages, re-derived in SQL
+EVERY query (27/27) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1272,6 +1272,35 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: pairs → components (via the
+    large-star/small-star contraction — this query is the star variant's
+    oracle-grade check; propagation is oracled by `dedup_components`) →
+    keep the component-min representative plus every un-grouped doc."""
+    from language_identification_spark.operators.dedup import (
+        connected_components_star,
+        jaccard_pairs,
+        keep_representatives,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    comps = connected_components_star(pairs)
+    return keep_representatives(docs, comps).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+def _sql_dedup_representatives() -> str:
+    comp_sql = _sql_dedup_components()
+    return f"""
+WITH comp AS ({comp_sql})
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+"""
+
+
 def _sql_dedup_components() -> str:
     """Transitive-closure oracle: the minhash pair SQL as the edge set, then
     a recursive CTE computing each node's minimum reachable id."""
@@ -1623,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": _q_langid,
         "minhash_jaccard_pairs": _q_minhash_pairs,
         "dedup_components": _q_dedup_components,
+        "dedup_representatives": _q_dedup_representatives,
         "simhash_buckets": _q_simhash,
         "quality_filter_full": _q_quality_filter,
         "langid_line_spans": _q_line_spans,
@@ -1657,4 +1687,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_full": _sql_quality_filter(),
         "minhash_jaccard_pairs": _sql_minhash_pairs(),
         "dedup_components": _sql_dedup_components(),
+        "dedup_representatives": _sql_dedup_representatives(),
     }

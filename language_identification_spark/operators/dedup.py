@@ -548,3 +548,24 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)),
         )
     return out
+
+
+def keep_representatives(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "comp",
+) -> DataFrame:
+    """The deduplicated corpus: keep ONE representative (the component-min
+    id) per near-dup group plus every un-grouped row — the step a training
+    pipeline actually consumes after pair mining + grouping.
+
+    Implemented as a LEFT ANTI join against the non-representative node
+    set: only ids travel (pairs-scale, ~0.1% of a typical corpus), row
+    content never shuffles, and AQE broadcasts the drop set when it fits.
+    """
+    drop = components.filter(F.col(node_col) != F.col(comp_col)).select(
+        F.col(node_col).alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

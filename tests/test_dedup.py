@@ -126,3 +126,25 @@ def test_connected_components_star_handles_long_chain(spark):
     assert got == {i: 0 for i in range(60)}
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=10)
+
+
+def test_keep_representatives(spark):
+    """Deduplicated corpus: one representative (component min) per group
+    plus all un-grouped rows; anti-join ships only non-representative ids."""
+    from language_identification_spark.operators.dedup import (
+        connected_components_star,
+        keep_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    comps = connected_components_star(pairs)
+    kept = sorted(
+        r.doc_id for r in keep_representatives(docs, comps).collect()
+    )
+    # groups {1,2,3}->1 and {5,6}->5; everything else untouched
+    assert kept == [0, 1, 4, 5, 7, 8, 9]
