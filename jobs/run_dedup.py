@@ -24,6 +24,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# spark-submit ships the package via --py-files; a direct `python jobs/...`
+# run finds it at the repo root instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
