@@ -170,16 +170,21 @@ def _convert_batches(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 out["media_id"].append(mid)
-                if payload is None or not bytes(payload).startswith(b"RIFF"):
-                    # non-WAV rows surface as nulls, not job failures — a
-                    # 100 TB run must not die on one corrupt payload
+                conv = None
+                if payload is not None and bytes(payload).startswith(b"RIFF"):
+                    try:
+                        conv = convert_wav(bytes(payload), target_rate, headroom_db)
+                    except Exception:  # noqa: BLE001 — truncated/corrupt WAV
+                        conv = None
+                if conv is None:
+                    # non-WAV and corrupt rows surface as nulls, not job
+                    # failures — a 100 TB run must not die on one payload
                     out["payload"].append(None)
                     out["sample_rate"].append(None)
                     out["n_frames"].append(None)
                     out["channels"].append(None)
                     out["sample_width"].append(None)
                     continue
-                conv = convert_wav(bytes(payload), target_rate, headroom_db)
                 ch, width, rate, n = wav_props(conv)
                 out["payload"].append(conv)
                 out["sample_rate"].append(rate)

@@ -190,3 +190,18 @@ def test_audio_feature_is_real_rms_envelope(spark):
         (mono[: seg * FEATURE_DIM].reshape(FEATURE_DIM, seg) ** 2).mean(axis=1)
     )
     assert np.allclose(np.array(row.feature), expected, atol=1e-6)
+
+
+def test_convert_audio_survives_corrupt_riff(spark):
+    """RIFF-prefixed garbage and truncated WAVs yield null rows, never job
+    failures (the 100 TB no-poison-pill rule)."""
+    good = _make_wav(8000, 1, 2)
+    rows = [
+        (1, b"RIFF" + b"\x00" * 40),      # RIFF prefix, not a WAV
+        (2, good[: len(good) // 3]),       # truncated mid-data
+        (3, good),                          # sanity: the good one converts
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in convert_audio(df).collect()}
+    assert got[1].payload is None
+    assert got[3].payload is not None and got[3].sample_rate == TARGET_RATE
