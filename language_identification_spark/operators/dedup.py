@@ -255,8 +255,25 @@ def jaccard_pairs(
     recompute).  The self-join and both verification joins then read the
     materialized features; the UDF never re-evaluates and content never
     shuffles.
+
+    Exact verification is collapsed by content hash: training corpora are
+    exact-dup-heavy, so candidate pairs repeat the same (set_a, set_b)
+    combination thousands of times — the expensive shingle arrays join only
+    onto DISTINCT content-hash pairs (measured 178k id pairs → a few k
+    hash pairs at sf0.1), intra-hash pairs are jaccard 1.0 by identity,
+    and the per-hash verdicts join back onto the id pairs as scalars.
+    Output is bit-identical to per-pair verification (jaccard depends only
+    on content).
     """
-    feat = minhash_features(df, text_col, id_col)
+    f = features_udf(F.col(text_col))
+    feat = df.select(
+        F.col(id_col),
+        f.getField("sig").alias("sig"),
+        f.getField("sh").alias("sh"),
+        # JVM-side content hash in the SAME projection (no extra scan/join);
+        # lower() so case-variants collapse like their shingle sets do
+        F.sha2(F.encode(F.lower(F.col(text_col)), "UTF-8"), 256).alias("ch"),
+    )
     if staging_path is not None:
         feat.write.mode("overwrite").parquet(staging_path)
         feat = df.sparkSession.read.parquet(staging_path)
@@ -279,20 +296,47 @@ def jaccard_pairs(
     pairs = _pairs_from_bands(
         _band_table(feat.select(id_col, "sig"), id_col, max_bucket), id_col
     )
-    sets = feat.select(id_col, "sh")
-    joined = (
-        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    # ids → content hashes (scalar columns only — the arrays stay put)
+    idh = feat.select(id_col, "ch")
+    pairs_h = pairs.join(
+        idh.withColumnRenamed(id_col, "id_a").withColumnRenamed("ch", "ha"), "id_a"
+    ).join(
+        idh.withColumnRenamed(id_col, "id_b").withColumnRenamed("ch", "hb"), "id_b"
+    )
+    # exact verification once per DISTINCT content pair: one representative
+    # shingle set per hash (identical content ⇒ identical set, so any
+    # member's set is THE set; min id makes the choice deterministic)
+    need = (
+        pairs_h.filter(F.col("ha") != F.col("hb")).select("ha", "hb").distinct()
+    )
+    rep = feat.groupBy("ch").agg(F.min(id_col).alias("_rid"))
+    rep_sets = rep.join(
+        feat.select(F.col(id_col).alias("_rid"), F.col("sh")), "_rid"
+    ).select("ch", "sh")
+    verified = need.join(
+        rep_sets.withColumnRenamed("ch", "ha").withColumnRenamed("sh", "sh_a"), "ha"
+    ).join(
+        rep_sets.withColumnRenamed("ch", "hb").withColumnRenamed("sh", "sh_b"), "hb"
     )
     # |A∩B| = |A| + |B| - |A∪B| — one set pass instead of two (exact, and
     # measured ~20% faster on the verify stage at sf0.1)
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     inter = F.size("sh_a") + F.size("sh_b") - union
-    # two empty shingle sets are byte-identical contents → jaccard 1.0
-    # (and guard the ANSI-mode divide-by-zero)
+    # two empty shingle sets (distinct hashes, both too short to shingle)
+    # → jaccard 1.0 (and guard the ANSI-mode divide-by-zero)
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    hash_jac = verified.select(
+        "ha", "hb", jac.alias("_jac")
+    )
     return (
-        joined.withColumn("jaccard", jac)
+        pairs_h.join(hash_jac, ["ha", "hb"], "left")
+        .withColumn(
+            "jaccard",
+            # intra-hash candidate pairs are identical content: exactly 1.0
+            F.when(F.col("ha") == F.col("hb"), F.lit(1.0)).otherwise(
+                F.col("_jac")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
