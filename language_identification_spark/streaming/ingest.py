@@ -90,3 +90,32 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_exact_dedup(
+    stream_df, ts_col: str, content_col: str, watermark: str = "10 minutes"
+):
+    """Streaming twin of ``exact_dedup``: emit the FIRST arrival of each
+    distinct content hash, suppressing duplicates that arrive within the
+    watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The watermark bound is the load-bearing scale decision: an unbounded
+    ``dropDuplicates`` keeps every key in the state store forever — at a
+    100 TB/day ingest that state grows without limit and the job dies; the
+    within-watermark form evicts keys once the event-time horizon passes,
+    so state is bounded by (arrival rate × watermark), and near-time
+    duplicates (retries, replays, mirrored crawls — the streaming dup
+    regime) are still caught.  Historical dups are the BATCH dedup family's
+    job (``operators/dedup.py``) — the two compose: stream-dedup the
+    firehose, batch-dedup the lake.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream_df.withColumn(
+            "content_hash",
+            F.sha2(F.encode(F.col(content_col), "UTF-8"), 256),
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

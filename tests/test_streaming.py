@@ -65,3 +65,57 @@ def test_session_window_twin_matches_merge_islands(spark):
         ).collect()
     }
     assert sw == mi and len(sw) > 0
+
+
+def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """streaming_exact_dedup emits one row per distinct content within the
+    watermark horizon, across micro-batches, keeping the first arrival."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.streaming.ingest import (
+        streaming_exact_dedup,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "alpha"),
+        (2, t0 + dt.timedelta(seconds=10), "beta"),
+        (3, t0 + dt.timedelta(seconds=20), "alpha"),   # dup of 1
+        (4, t0 + dt.timedelta(seconds=30), "gamma"),
+        (5, t0 + dt.timedelta(seconds=40), "beta"),    # dup of 2
+        (6, t0 + dt.timedelta(seconds=50), "alpha"),   # dup of 1
+    ]
+    src_dir = str(tmp_path / "dedup_src")
+    (
+        spark.createDataFrame(rows, "row_id long, ts timestamp, text string")
+        .repartition(3)
+        .write.parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema("row_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out: list = []
+
+    def sink(batch_df, _bid):
+        out.extend(batch_df.collect())
+
+    q = (
+        streaming_exact_dedup(stream, "ts", "text", watermark="1 hour")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r.text, []).append(r.row_id)
+    # exactly one emission per distinct content
+    assert {k: len(v) for k, v in by_text.items()} == {
+        "alpha": 1, "beta": 1, "gamma": 1
+    }
