@@ -73,15 +73,33 @@ def bucket_col(n_buckets: int) -> F.Column:
 
 def _source_fingerprint(src: DataFrame) -> str:
     """Stable fingerprint of a source DataFrame: schema DDL + analyzed plan
-    with per-session expression ids (``#123``) stripped.  Catches both a
-    changed source table and a changed upstream query on resume."""
+    (per-session expression ids ``#123`` stripped) + for file-scan sources
+    the input file names with local size/mtime.  Catches a changed upstream
+    query, a changed schema, AND a source parquet dir regenerated under the
+    same path (same plan text, different bytes) — the failure mode
+    ``__spark_entry__._ann_index_dir`` guards against the same way
+    (ADVICE r03)."""
     import hashlib
     import re
+    from urllib.parse import unquote, urlparse
 
     plan = re.sub(r"#\d+", "#", str(src._jdf.queryExecution().analyzed()))
-    return hashlib.sha256(
-        (src.schema.simpleString() + "\n" + plan).encode()
-    ).hexdigest()
+    parts = [src.schema.simpleString(), plan]
+    try:
+        for uri in sorted(src.inputFiles()):
+            entry = uri
+            u = urlparse(uri)
+            if u.scheme in ("file", ""):
+                local = unquote(u.path) or uri
+                try:
+                    st = os.stat(local)
+                    entry = f"{uri}|{st.st_size}|{st.st_mtime_ns}"
+                except OSError:
+                    pass  # name alone still distinguishes added/removed files
+            parts.append(entry)
+    except Exception:  # noqa: BLE001 — non-file sources (views, streams)
+        pass  # schema + plan remain the fingerprint, as before
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
 def stage_source(
@@ -98,18 +116,29 @@ def stage_source(
     """
     meta_path = os.path.join(staging_dir, "_staging_meta.json")
     meta = {"n_buckets": n_buckets, "source": _source_fingerprint(src)}
+    reuse = False
     if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
-        prev = None
-        if os.path.exists(meta_path):
+        if not os.path.exists(meta_path):
+            # pre-metadata staging table, or a crash landed between the
+            # parquet _SUCCESS and the meta write: provenance is unknown, so
+            # re-stage (overwrite is idempotent) instead of failing the
+            # resume or trusting possibly-mismatched data (ADVICE r03)
+            log.warning(
+                "staging table at %s has no _staging_meta.json "
+                "(pre-metadata table or interrupted stage); re-staging",
+                staging_dir,
+            )
+        else:
             with open(meta_path) as f:
                 prev = json.load(f)
-        if prev != meta:
-            raise ValueError(
-                f"staging table at {staging_dir} was built with "
-                f"{prev} but this run asked for {meta}; delete the staging "
-                "dir (or point out_root elsewhere) to re-stage"
-            )
-    else:
+            if prev != meta:
+                raise ValueError(
+                    f"staging table at {staging_dir} was built with "
+                    f"{prev} but this run asked for {meta}; delete the "
+                    "staging dir (or point out_root elsewhere) to re-stage"
+                )
+            reuse = True
+    if not reuse:
         (
             src.withColumn("_bucket", bucket_col(n_buckets))
             .write.mode("overwrite")

@@ -41,16 +41,25 @@ SOFTMAX_SCALE = 12.0  # sharpness of mean-loglik → confidence
 # The cache value holds the SOURCE array too: keying on id() alone would go
 # stale if an ad-hoc model's array were garbage-collected and a new array
 # reused the same id (ADVICE r02) — the identity check below makes that
-# impossible.
+# impossible.  Only the registry singletons need caching, so the cache is
+# hard-capped: when an ad-hoc model would push it past _LOGP64_CACHE_MAX the
+# whole cache resets (the singletons repopulate on their next call) instead
+# of pinning every ad-hoc array for process lifetime (ADVICE r03).
 _LOGP64_CACHE: dict[int, tuple["np.ndarray", "np.ndarray"]] = {}
+_LOGP64_CACHE_MAX = 8
 
 
 def logp64_of(logp: "np.ndarray") -> "np.ndarray":
-    hit = _LOGP64_CACHE.get(id(logp))
+    key = id(logp)
+    hit = _LOGP64_CACHE.get(key)
     if hit is not None and hit[0] is logp:
         return hit[1]
+    if hit is not None:  # stale entry from a freed array that reused the id
+        del _LOGP64_CACHE[key]
     m = logp.astype(np.float64)
-    _LOGP64_CACHE[id(logp)] = (logp, m)
+    if len(_LOGP64_CACHE) >= _LOGP64_CACHE_MAX:
+        _LOGP64_CACHE.clear()
+    _LOGP64_CACHE[key] = (logp, m)
     return m
 
 

@@ -271,8 +271,15 @@ def jaccard_pairs(
         f.getField("sig").alias("sig"),
         f.getField("sh").alias("sh"),
         # JVM-side content hash in the SAME projection (no extra scan/join);
-        # lower() so case-variants collapse like their shingle sets do
-        F.sha2(F.encode(F.lower(F.col(text_col)), "UTF-8"), 256).alias("ch"),
+        # lower() so case-variants collapse like their shingle sets do, and
+        # coalesce(NULL → "") so NULL-text docs collapse with empty-text ones
+        # exactly as the features UDF's `t or ""` does — without it sha2 of
+        # NULL is NULL and every pair touching a NULL doc would fall through
+        # both the need filter and the intra-hash 1.0 branch (ADVICE r03)
+        F.sha2(
+            F.encode(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "UTF-8"),
+            256,
+        ).alias("ch"),
     )
     if staging_path is not None:
         feat.write.mode("overwrite").parquet(staging_path)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
@@ -51,32 +51,37 @@ def _line_spans_batch(content: pd.Series) -> pd.Series:
     lid, _ = get_models()
     # flatten all blocks of all docs into one classifier batch
     block_texts: list[bytes] = []
-    block_doc: list[int] = []
-    block_bounds: list[tuple[int, int]] = []
-    for i, text in enumerate(content):
+    n_blocks: list[int] = []  # blocks per doc, in doc order
+    starts: list[int] = []
+    line_counts: list[int] = []
+    for text in content:
         lines = (text or "").split("\n")
+        nb = 0
         for s in range(0, len(lines), BLOCK_LINES):
             e = min(s + BLOCK_LINES, len(lines))
             block_texts.append("\n".join(lines[s:e]).lower().encode("utf-8"))
-            block_doc.append(i)
-            block_bounds.append((s, e))
+            starts.append(s)
+            nb += 1
+        n_blocks.append(nb)
+        line_counts.append(len(lines))
     if block_texts:
         idx, conf, _ll = lid.predict_batch(block_texts)
         labels = np.array([""] + list(lid.langs))[idx + 1]
-        # one flat record pass + per-doc slicing (block_doc is nondecreasing
-        # by construction) — no per-block nested-list appends
-        recs = [
+        # columnar struct assembly: four flat arrays → one records pass
+        # (pandas' C-level to_dict) → per-doc slicing at the cumulative
+        # block bounds.  No per-block Python loop anywhere in assembly.
+        start_arr = np.asarray(starts, dtype=np.int64)
+        doc_ends = np.repeat(np.asarray(line_counts, dtype=np.int64), n_blocks)
+        end_arr = np.minimum(start_arr + BLOCK_LINES, doc_ends)
+        recs = pd.DataFrame(
             {
-                "start_line": se[0],
-                "end_line": se[1],
-                "label": str(lbl),
-                "confidence": float(c),
+                "start_line": start_arr.astype(np.int32),
+                "end_line": end_arr.astype(np.int32),
+                "label": labels,
+                "confidence": conf.astype(np.float64),
             }
-            for se, lbl, c in zip(block_bounds, labels, conf)
-        ]
-        bounds = np.searchsorted(
-            np.asarray(block_doc), np.arange(len(content) + 1)
-        )
+        ).to_dict("records")
+        bounds = np.concatenate(([0], np.cumsum(n_blocks)))
         out = [recs[bounds[i] : bounds[i + 1]] for i in range(len(content))]
     else:
         out = [[] for _ in range(len(content))]
@@ -166,9 +171,7 @@ def majority_label(spans: DataFrame, id_col: str) -> DataFrame:
         F.sum("island_duration").alias("lines")
     )
     w = F.row_number().over(
-        __import__("pyspark").sql.Window.partitionBy(id_col).orderBy(
-            F.desc("lines"), F.asc("label")
-        )
+        Window.partitionBy(id_col).orderBy(F.desc("lines"), F.asc("label"))
     )
     return (
         weighted.withColumn("rk", w)

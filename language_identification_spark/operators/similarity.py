@@ -363,13 +363,26 @@ def ivf_topk_indexed(
     """IVF probe against the write-side index: partition pruning at the
     source, no per-row Python.  Results identical to ``ivf_topk`` when the
     index was built with the default quantizer; an index built with
-    ``train_ivf_centroids`` output is probed with its own saved centroids."""
+    ``train_ivf_centroids`` output is probed with its own saved centroids.
+
+    ``build_ann_index`` ALWAYS writes the centroid sidecar, so its absence
+    means the index dir is not one of ours or lives on a filesystem this
+    process can't read (e.g. HDFS/S3 while probing from a different driver).
+    Probing a trained index with the default ``_CENTROIDS`` would silently
+    rank cells with the wrong quantizer — degraded results with no error —
+    so an unreadable sidecar raises instead of falling back (ADVICE r03)."""
     import os
 
-    cent = _CENTROIDS
     cfile = os.path.join(index_dir, _CENTROID_FILE)
-    if os.path.exists(cfile):
+    try:
         cent = np.load(cfile)
+    except (FileNotFoundError, OSError) as e:
+        raise FileNotFoundError(
+            f"ANN index at {index_dir} has no readable centroid sidecar "
+            f"({cfile}): refusing to probe with the default quantizer, which "
+            "would be silently wrong for a trained index. Rebuild the index "
+            "with build_ann_index, or copy the sidecar next to the parquet."
+        ) from e
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probes = np.argsort(-(cent[:, : len(q)] @ qn))[:nprobe].tolist()

@@ -171,3 +171,46 @@ def test_stage_source_rejects_bucket_count_change(spark, src, tmp_path):
         stage_source(spark, src, root, n_buckets=2)
     with _pytest.raises(ValueError, match="staging table"):
         stage_source(spark, src.limit(3), root, n_buckets=4)
+
+
+def test_stage_source_restages_when_meta_missing(spark, src, tmp_path):
+    # ADVICE r03: a pre-metadata staging table (or a crash between the
+    # parquet _SUCCESS and the meta write) must re-stage with a warning,
+    # not fail the resume.
+    import os
+
+    from language_identification_spark.checkpoint import stage_source
+
+    root = str(tmp_path / "premeta")
+    stage_source(spark, src, root, N_BUCKETS)
+    os.remove(os.path.join(root, "_staging_meta.json"))
+    staged = stage_source(spark, src, root, N_BUCKETS)
+    assert staged.count() == src.count()
+    assert os.path.exists(os.path.join(root, "_staging_meta.json"))
+
+
+def test_stage_source_detects_regenerated_source_files(spark, tmp_path):
+    # ADVICE r03: a source parquet dir regenerated under the SAME path has
+    # the same schema + plan text; the fingerprint must still change (file
+    # names/sizes/mtimes) so resume doesn't silently reuse stale staged data.
+    import pytest as _pytest
+
+    from language_identification_spark.checkpoint import stage_source
+    from language_identification_spark.datagen.corpus import (
+        generate_source_files,
+    )
+
+    src_dir = str(tmp_path / "srcpq")
+    pdf, _ = generate_source_files(50, seed=1)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src_dir)
+    root = str(tmp_path / "regen")
+    stage_source(spark, spark.read.parquet(src_dir), root, N_BUCKETS)
+    # same source, unchanged: reuses without complaint
+    assert (
+        stage_source(spark, spark.read.parquet(src_dir), root, N_BUCKETS)
+        .count() == 50
+    )
+    pdf2, _ = generate_source_files(50, seed=2)
+    spark.createDataFrame(pdf2).write.mode("overwrite").parquet(src_dir)
+    with _pytest.raises(ValueError, match="staging table"):
+        stage_source(spark, spark.read.parquet(src_dir), root, N_BUCKETS)

@@ -148,3 +148,18 @@ def test_keep_representatives(spark):
     )
     # groups {1,2,3}->1 and {5,6}->5; everything else untouched
     assert kept == [0, 1, 4, 5, 7, 8, 9]
+
+def test_jaccard_null_text_collapses_with_empty(spark):
+    # ADVICE r03: sha2(NULL) is NULL, which is neither == nor != any hash, so
+    # pre-fix every candidate pair touching a NULL-text doc silently vanished.
+    # The features UDF maps NULL → "" (`t or ""`); the content hash must
+    # collapse the same way so NULL/empty docs still report jaccard 1.0.
+    rows = [(0, ""), (1, None), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(df, "text", "doc_id", 0.5).collect()
+    }
+    assert got.get((0, 1)) == 1.0
+    assert got.get((0, 2)) == 1.0
+    assert got.get((1, 2)) == 1.0

@@ -1,0 +1,34 @@
+"""The float64 weight-matrix cache must stay bounded (ADVICE r03): ad-hoc
+model arrays must not be pinned for process lifetime, and a stale id-reuse
+entry is evicted rather than grown around."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from language_identification_spark.models import langid
+
+
+def test_logp64_cache_bounded():
+    langid._LOGP64_CACHE.clear()
+    keep = [
+        np.zeros((4, 2), dtype=np.float32) + i
+        for i in range(langid._LOGP64_CACHE_MAX * 3)
+    ]
+    for a in keep:
+        m = langid.logp64_of(a)
+        assert m.dtype == np.float64
+    assert len(langid._LOGP64_CACHE) <= langid._LOGP64_CACHE_MAX
+
+
+def test_logp64_cache_hit_is_identity_checked():
+    langid._LOGP64_CACHE.clear()
+    a = np.ones((4, 2), dtype=np.float32)
+    m1 = langid.logp64_of(a)
+    assert langid.logp64_of(a) is m1  # hit
+    # simulate id reuse: a different array under the same id key
+    key = id(a)
+    b = np.full((4, 2), 7, dtype=np.float32)
+    langid._LOGP64_CACHE[key] = (b, b.astype(np.float64))
+    m2 = langid.logp64_of(a)  # stale entry: recompute, not reuse
+    assert float(m2[0, 0]) == 1.0

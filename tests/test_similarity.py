@@ -156,3 +156,23 @@ def test_trained_ivf_centroids_improve_recall_on_clustered_data(spark, tmp_path)
     # nprobe=2/8; random centroids shred clusters across cells
     assert rec_trained >= rec_default
     assert rec_trained >= 70  # >= 87% of 80
+
+def test_indexed_probe_requires_centroid_sidecar(spark, emb, tmp_path):
+    # ADVICE r03: probing a trained index with the default quantizer (because
+    # the sidecar is unreadable) would silently return degraded results —
+    # absence must raise, never fall back.
+    import os
+
+    from language_identification_spark.operators.similarity import (
+        _CENTROID_FILE,
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    df, _ = emb
+    idx_dir = str(tmp_path / "ann_index_nosidecar")
+    build_ann_index(df, idx_dir)
+    os.remove(os.path.join(idx_dir, _CENTROID_FILE))
+    q = [0.1] * DIM
+    with pytest.raises(FileNotFoundError, match="centroid sidecar"):
+        ivf_topk_indexed(spark, idx_dir, q, k=5)
