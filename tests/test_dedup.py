@@ -163,3 +163,71 @@ def test_jaccard_null_text_collapses_with_empty(spark):
     assert got.get((0, 1)) == 1.0
     assert got.get((0, 2)) == 1.0
     assert got.get((1, 2)) == 1.0
+
+def test_lsh_bucket_cap_boundary_and_recall_through_other_bands(spark):
+    # VERDICT r03 #8: pin the docstring's skew-cap claims with controlled
+    # signatures — a bucket at exactly max_bucket is KEPT, a bucket above it
+    # is DROPPED, and members of the dropped bucket still pair through their
+    # other, more selective bands.
+    from language_identification_spark.operators.dedup import (
+        LSH_BANDS,
+        N_PERM,
+        _band_table,
+        _pairs_from_bands,
+    )
+
+    rpb = N_PERM // LSH_BANDS
+    cap = 4
+
+    def sig(doc_id, band_slices):
+        # unique filler everywhere, then overwrite chosen bands' slices
+        s = [doc_id * 1000 + i for i in range(N_PERM)]
+        for band, val in band_slices.items():
+            s[band * rpb : (band + 1) * rpb] = [val] * rpb
+        return s
+
+    rows = []
+    # band 0: ALL 10 docs share the slice → bucket size 10 > cap → dropped
+    # band 1: docs 0 and 1 share a slice → size 2 → the pair must survive
+    # band 2: docs 2,3,4,5 share a slice → size == cap → kept, 6 pairs
+    for d in range(10):
+        slices = {0: 7}
+        if d in (0, 1):
+            slices[1] = 8
+        if d in (2, 3, 4, 5):
+            slices[2] = 9
+        rows.append((d, sig(d, slices)))
+    sigs = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in _pairs_from_bands(
+            _band_table(sigs, "doc_id", cap), "doc_id"
+        ).collect()
+    }
+    at_cap = {(a, b) for a in (2, 3, 4, 5) for b in (2, 3, 4, 5) if a < b}
+    assert pairs == {(0, 1)} | at_cap
+    # sanity: without the cap the giant band-0 bucket yields all 45 pairs
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in _pairs_from_bands(
+            _band_table(sigs, "doc_id", 1000), "doc_id"
+        ).collect()
+    }
+    assert len(uncapped) == 45
+
+
+def test_exact_dup_cluster_beyond_cap_is_exact_dedups_job(spark):
+    # The documented division of labor: a dense EXACT-dup cluster larger
+    # than max_bucket collides in every band, so LSH drops all its buckets —
+    # and exact_dedup still reports the full cluster.
+    n = 6
+    rows = [(i, BASE) for i in range(n)] + [(99, "unrelated text entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(df, "text", "doc_id", max_bucket=4).collect()
+    assert pairs == []
+    groups = {
+        r.representative: r.n_copies
+        for r in exact_dedup(df, "text", "doc_id").collect()
+    }
+    assert groups[0] == n
