@@ -520,11 +520,61 @@ def _sql_ivf_topk() -> str:
         _CENTROIDS,
     )
 
+    return _sql_ivf_from(_CENTROIDS, IVF_NPROBE)
+
+
+def _numpy_train_centroids(mat: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Independent numpy re-derivation of the spherical k-means spec that
+    ``train_ivf_centroids`` implements distributed (seeded init from the
+    module's fixed centroid set, assignment by normalized dot-product argmax,
+    per-cell mean update, empty cells keep their previous centroid, unit
+    renormalization).  Used only to generate the ``ivf_topk_trained`` oracle's
+    centroid literals; the SQL then re-scores assignment + cosine from them."""
+    from language_identification_spark.operators.similarity import _CENTROIDS
+
+    dim = mat.shape[1]
+    cent = _CENTROIDS[:k, :dim].copy()
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    for _ in range(iters):
+        cells = (unit @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in np.unique(cells):
+            new[c] = mat[cells == c].mean(axis=0)
+        n2 = np.linalg.norm(new, axis=1, keepdims=True)
+        n2[n2 == 0] = 1.0
+        cent = new / n2
+    return cent
+
+
+_TRAINED_IVF_K = 32
+_TRAINED_IVF_ITERS = 4
+
+
+def _sql_ivf_topk_trained() -> str:
+    """Oracle for the trained-quantizer IVF path.  The driver's correctness
+    gate runs oracles at sf0.01 by contract, so the centroids are derived
+    from the sf0.01 embeddings table read directly (deterministic: seeded
+    init, no sampling, fixed data)."""
+    import pandas as pd
+
+    pdf = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pdf = pdf.sort_values("vec_id")
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    cent = _numpy_train_centroids(mat, _TRAINED_IVF_K, _TRAINED_IVF_ITERS)
+    from language_identification_spark.operators.similarity import IVF_NPROBE
+
+    return _sql_ivf_from(cent, IVF_NPROBE)
+
+
+def _sql_ivf_from(centroids: np.ndarray, nprobe: int) -> str:
     q = np.asarray(_QUERY_VEC, dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    probes = np.argsort(-(_CENTROIDS @ qn))[:IVF_NPROBE].tolist()
+    probes = np.argsort(-(centroids[:, : len(q)] @ qn))[:nprobe].tolist()
     cents = ", ".join(
-        f"({k}, {_vec_sql(_CENTROIDS[k])})" for k in range(len(_CENTROIDS))
+        f"({k}, {_vec_sql(centroids[k])})" for k in range(len(centroids))
     )
     qlit = _vec_sql(q)
     qnorm = repr(float(np.linalg.norm(q)))
@@ -1576,6 +1626,26 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer IVF: spherical k-means on the corpus itself (the
+    Lloyd loop shuffles only k×d aggregated scalars per iteration), then the
+    same probe/score path as ``ivf_topk`` under the adapted centroids.
+    Deterministic end-to-end: seeded init, no sampling (VERDICT r03 #3)."""
+    from language_identification_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = train_ivf_centroids(
+        emb, k=_TRAINED_IVF_K, iters=_TRAINED_IVF_ITERS
+    )
+    return ivf_topk(emb, _QUERY_VEC, k=10, centroids=cent).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("cosine") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
 def _q_line_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.linespans import (
         langid_line_spans,
@@ -1644,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_verify_pairs": _q_jaccard_verify,
         "lsh_topk": _q_lsh_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_topk_trained": _q_ivf_topk_trained,
         "ivf_topk_indexed": _q_ivf_topk_indexed,
         "lsh_topk_indexed": _q_lsh_topk_indexed,
         "wav_convert_props": _q_wav_convert,
@@ -1676,6 +1747,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_verify_pairs": _SQL_JACCARD_VERIFY,
         "lsh_topk": _sql_lsh_topk(),
         "ivf_topk": _sql_ivf_topk(),
+        "ivf_topk_trained": _sql_ivf_topk_trained(),
         "ivf_topk_indexed": _sql_ivf_topk(),
         "lsh_topk_indexed": _sql_lsh_topk(),
         "wav_convert_props": _SQL_WAV_CONVERT,

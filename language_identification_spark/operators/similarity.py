@@ -102,6 +102,7 @@ def ivf_topk(
     df: DataFrame, query: list[float], k: int = 10,
     vec_col: str = "embedding", id_col: str = "vec_id",
     nprobe: int = IVF_NPROBE,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe the ``nprobe`` centroid cells
     nearest the query (~nprobe/IVF_K of the data scanned).
@@ -110,11 +111,16 @@ def ivf_topk(
     partitions at the source instead of filtering post-scan.  Measured on the
     driver's isotropic sf0.01 embeddings: recall≈0.6 at 22%% scan (isotropic
     vectors are the ANN worst case; clustered real embeddings do far better).
+
+    ``centroids`` overrides the default data-independent quantizer — pass
+    ``train_ivf_centroids(df)`` output to probe with a data-adapted one.
     """
+    cent = _CENTROIDS if centroids is None else np.asarray(centroids)
+    cell_udf = ivf_cell_udf if centroids is None else _cell_assign_udf(cent)
     q = np.asarray(query, dtype=np.float64)
     qn = q / np.linalg.norm(q)
-    probes = np.argsort(-(_CENTROIDS[:, : len(q)] @ qn))[:nprobe].tolist()
-    cells = df.withColumn("ivf_cell", ivf_cell_udf(F.col(vec_col)))
+    probes = np.argsort(-(cent[:, : len(q)] @ qn))[:nprobe].tolist()
+    cells = df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
     return (
         cells.filter(F.col("ivf_cell").isin(*[int(p) for p in probes]))
         .select(
