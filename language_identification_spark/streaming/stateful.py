@@ -12,13 +12,18 @@ Timeout handling mirrors the reference's watchdog (``:1160-1169``): when a
 group sees no data before the processing-time timeout, the open island is
 flushed as closed.
 
-Note: events must arrive in order per key, and ``max_gap`` must match, for
-exact parity with the batch operator (the reference sorts first, ``:928``);
-an upstream watermark + sort-within-batch gives the ordering in practice.
-The default instance uses ``max_gap=inf`` (the live machine's semantics —
-same-label runs never gap-split), which equals the batch operator only on
-gap-free streams; pass a finite ``max_gap`` to
-``make_merge_islands_stateful`` for full batch parity.
+Two variants:
+
+- ``make_merge_islands_stateful`` (processing-time): events must arrive in
+  order per key, and ``max_gap`` must match, for exact parity with the batch
+  operator (the reference sorts first, ``:928``); sort-within-batch handles
+  intra-batch disorder only.  The default instance uses ``max_gap=inf``
+  (the live machine's semantics — same-label runs never gap-split).
+- ``make_merge_islands_eventtime`` (event-time): tolerant of out-of-order
+  arrival ACROSS micro-batches — events are buffered in state until the
+  watermark passes them, then run through the same machine in sorted order,
+  so a late event that bridges two islands still yields one island
+  (VERDICT r03 #4).  Use this one on real streams with late data.
 """
 
 from __future__ import annotations
@@ -28,6 +33,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -118,3 +124,127 @@ def make_merge_islands_stateful(max_gap: int | float = float("inf")):
 
 # default instance: the reference's live switch machine (no gap splitting)
 merge_islands_stateful = make_merge_islands_stateful()
+
+
+# ---------------------------------------------------------------------------
+# Event-time variant: tolerant of OUT-OF-ORDER arrival across micro-batches
+# (VERDICT r03 #4).  The in-order machine above splits an island if a late
+# event that would have bridged it arrives in a later micro-batch; this one
+# buffers events in state until the watermark passes them, then runs the
+# SAME switch machine over the watermark-released prefix in sorted order.
+# ---------------------------------------------------------------------------
+
+EVENTTIME_STATE_SCHEMA = StructType(
+    [
+        StructField("open_label", StringType()),
+        StructField("open_start", LongType()),
+        StructField("open_end", LongType()),
+        StructField("p_label", ArrayType(StringType())),
+        StructField("p_start", ArrayType(LongType())),
+        StructField("p_end", ArrayType(LongType())),
+        StructField("p_ts", ArrayType(LongType())),
+    ]
+)
+
+
+def make_merge_islands_eventtime(max_gap: int | float = float("inf")):
+    """Out-of-order-safe island merge over ``applyInPandasWithState`` with
+    event-time timeout.
+
+    Contract: the input stream carries ``(key, label, start, end, ts)`` where
+    ``ts`` is a TIMESTAMP derivation of ``start`` (e.g.
+    ``timestamp_seconds(start)``) and has ``withWatermark`` applied — so
+    watermark order coincides with the machine's ``start`` order, which is
+    what makes "released by the watermark" imply "no earlier-starting event
+    can still arrive".  Per key the state holds the open island plus a small
+    pending buffer of not-yet-released events (bounded by arrival rate ×
+    watermark delay, the same bound ``dropDuplicatesWithinWatermark`` gives
+    the streaming exact dedup).  Per invocation: append the batch's events,
+    release the ``ts <= watermark`` prefix in ``(start, end)`` order through
+    the same open/extend/switch/gap-split machine as the in-order twin, and
+    re-arm an event-time timeout just past the newest buffered event so the
+    final open island and stragglers flush once the watermark passes
+    everything (the reference finalizes its open segment at shutdown,
+    ``disconnected_language_detector.py:1174-1193``; here "shutdown" is the
+    watermark overtaking the key).
+
+    Usage:
+        (events.withColumn("ts", F.timestamp_seconds(F.col("start")))
+               .withWatermark("ts", "15 seconds")
+               .groupBy("key")
+               .applyInPandasWithState(
+                   make_merge_islands_eventtime(max_gap), OUTPUT_SCHEMA,
+                   EVENTTIME_STATE_SCHEMA, "append",
+                   GroupStateTimeout.EventTimeTimeout))
+    """
+
+    def _step(cur, label, start, end, closed, k):
+        cur_label, cur_start, cur_end = cur
+        if cur_label is None:
+            return (label, start, end)
+        if label == cur_label and start <= cur_end + max_gap:
+            return (cur_label, cur_start, max(cur_end, end))
+        closed.append((k, cur_label, cur_start, cur_end))
+        return (label, start, end)
+
+    def merge_fn(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k = key[0]
+        closed: list[tuple] = []
+        if state.exists:
+            ol, os_, oe, pl, ps, pe, pt = state.get
+            pend = list(zip(pl or [], ps or [], pe or [], pt or []))
+        else:
+            ol, os_, oe = None, None, None
+            pend = []
+        cur = (ol, os_, oe)
+
+        if state.hasTimedOut:
+            # the watermark passed everything buffered (the timeout is armed
+            # past the newest pending ts): drain in order and finalize
+            for label, start, end, _t in sorted(pend, key=lambda r: (r[1], r[2])):
+                cur = _step(cur, str(label), int(start), int(end), closed, k)
+            if cur[0] is not None:
+                closed.append((k, *cur))
+            state.remove()
+            yield pd.DataFrame(
+                closed, columns=["key", "label", "island_start", "island_end"]
+            )
+            return
+
+        for pdf in pdf_iter:
+            ts_ms = pdf["ts"].astype("int64") // 1_000_000
+            for label, start, end, t in zip(
+                pdf["label"], pdf["start"], pdf["end"], ts_ms
+            ):
+                pend.append((str(label), int(start), int(end), int(t)))
+
+        wm = state.getCurrentWatermarkMs()
+        pend.sort(key=lambda r: (r[1], r[2]))
+        ripe = [r for r in pend if r[3] <= wm]
+        pend = [r for r in pend if r[3] > wm]
+        for label, start, end, _t in ripe:
+            cur = _step(cur, label, start, end, closed, k)
+
+        if cur[0] is not None or pend:
+            state.update(
+                (
+                    cur[0],
+                    cur[1],
+                    cur[2],
+                    [r[0] for r in pend],
+                    [r[1] for r in pend],
+                    [r[2] for r in pend],
+                    [r[3] for r in pend],
+                )
+            )
+            max_ts = max((r[3] for r in pend), default=wm)
+            state.setTimeoutTimestamp(max(max_ts + 1, wm + 1))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            closed, columns=["key", "label", "island_start", "island_end"]
+        )
+
+    return merge_fn

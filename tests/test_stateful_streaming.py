@@ -114,3 +114,128 @@ def test_stateful_switch_machine(spark, tmp_path):
     # reference's watchdog analog) depending on trigger timing
     assert got[:2] == [("en", 0, 20), ("ar", 20, 30)]
     assert got[2:] in ([], [("en", 30, 40)])
+
+
+class _FakeEventState(_FakeState):
+    """_FakeState plus the event-time surface (watermark + timestamp)."""
+
+    def __init__(self, wm_ms=0):
+        super().__init__()
+        self._wm = wm_ms
+        self.timeout_ts = None
+        self.hasTimedOut = False
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+    def setTimeoutTimestamp(self, ts):
+        assert ts > self._wm
+        self.timeout_ts = ts
+
+
+def _run_eventtime(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["label", "start", "end", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="s")
+    out = list(fn(("k",), iter([pdf]), state))[0]
+    return [tuple(r[1:]) for r in out.itertuples(index=False)]
+
+
+def test_eventtime_buffers_above_watermark_and_releases_below():
+    from language_identification_spark.streaming.stateful import (
+        make_merge_islands_eventtime,
+    )
+
+    fn = make_merge_islands_eventtime(max_gap=5)
+    st = _FakeEventState(wm_ms=0)
+    # batch 1, wm=0: nothing released, everything buffered
+    assert _run_eventtime(fn, st, [("en", 100, 110, 100), ("en", 120, 130, 120)]) == []
+    assert st._v[0] is None and len(st._v[3]) == 2
+    # batch 2, wm=105s: the late bridging event arrives; only [100,110] is
+    # released (opens, not closed) — no premature island
+    st._wm = 105_000
+    assert _run_eventtime(fn, st, [("en", 112, 118, 112)]) == []
+    assert st._v[:3] == ("en", 100, 110)
+    assert sorted(st._v[4]) == [112, 120]  # still pending
+    # timeout (wm passed everything): drain in sorted order → ONE island
+    st.hasTimedOut = True
+    out = list(fn(("k",), iter([]), st))[0]
+    assert [tuple(r[1:]) for r in out.itertuples(index=False)] == [
+        ("en", 100, 130)
+    ]
+    assert st._v is None  # state removed
+
+
+def test_eventtime_stream_late_event_bridges_islands(spark, tmp_path):
+    # VERDICT r03 #4 done-condition: a real 2-micro-batch stream where a late
+    # event bridges two islands; output must equal the batch operator on the
+    # sorted whole.  The in-order twin would emit a split (en,100,110) here.
+    import os
+    import time
+
+    import pandas as pd
+
+    from language_identification_spark.operators.islands import merge_islands
+    from language_identification_spark.streaming.stateful import (
+        EVENTTIME_STATE_SCHEMA,
+        OUTPUT_SCHEMA,
+        make_merge_islands_eventtime,
+    )
+
+    src_dir = tmp_path / "late_events"
+    src_dir.mkdir()
+    batches = [
+        [("f1", "en", 100, 110), ("f1", "en", 120, 130)],
+        [("f1", "en", 112, 118)],  # late: would have sorted between them
+        [("f2", "en", 1000, 1001)],  # watermark pushers on another key
+        [("f2", "en", 1001, 1002)],
+    ]
+    for i, rows in enumerate(batches):
+        p = src_dir / f"p{i}.parquet"
+        pd.DataFrame(
+            rows, columns=["key", "label", "start", "end"]
+        ).to_parquet(p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema("key string, label string, start long, end long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.timestamp_seconds(F.col("start")))
+        .withWatermark("ts", "15 seconds")
+    )
+    out = stream.groupBy("key").applyInPandasWithState(
+        make_merge_islands_eventtime(max_gap=5),
+        OUTPUT_SCHEMA,
+        EVENTTIME_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("eventtime_islands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r.label, r.island_start, r.island_end)
+        for r in spark.sql(
+            "select * from eventtime_islands where key = 'f1' "
+            "order by island_start"
+        ).collect()
+    ]
+    all_events = [r for b in batches for r in b if r[0] == "f1"]
+    batch_df = merge_islands(
+        spark.createDataFrame(
+            all_events, "key string, label string, start long, end long"
+        ),
+        ["key"], "label", "start", "end", max_gap=5,
+    )
+    want = [
+        (r.label, r.island_start, r.island_end)
+        for r in batch_df.orderBy("island_start").collect()
+    ]
+    assert got == want == [("en", 100, 130)]
