@@ -1,0 +1,180 @@
+"""Rows-vs-wall linearity at local[8] steady state (VERDICT r03 #5).
+
+The 100 TB claim for ``quality_filter`` and ``jaccard_pairs`` rests on plan
+shape (no quadratic joins, no driver-side collection, shuffles on short keys
+only).  This script MEASURES wall-time linearity in input rows at fixed
+parallelism: each workload runs at 1x / 3x / 5-6x its bench-scale input and
+reports rows/sec per size plus the worst deviation from linear
+(``max rows_per_sec / min rows_per_sec`` across sizes).  Done-condition:
+deviation <= 1.3x.
+
+Workload construction keeps per-row work constant across sizes:
+
+- quality_filter: ``generate_source_files`` chunks under distinct seeds
+  (identical distribution of languages/defect classes at every size).
+- jaccard_pairs: synthetic ~300-char documents (the driver's sf0.1
+  ``documents`` text-length profile) with CONSTANT dup density and bounded
+  cluster size — per 10 docs: 7 unique, 1 near-dup, 1 exact dup, 1 short.
+  Candidate-pair count then scales linearly in rows by construction, so a
+  superlinear wall would be the engine's fault, not the workload's.
+
+Protocol (BENCH/SCALING_RUNS.md methodology): one warm pass then min-of-3
+steady-state samples per size; host-phase probe (bench.host_phase_probe)
+gates each size and every reading is published.
+
+Usage: python BENCH/run_linearity.py [--quick]
+Writes one JSON line per workload to stdout; raw samples to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench")
+
+QF_SIZES = [100_000, 300_000, 500_000]
+JC_SIZES = [5_000, 15_000, 30_000]
+CORES = int(os.environ.get("LINEARITY_CPUS", "8"))
+PASSES = 3
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _qf_corpus(spark, n: int) -> str:
+    """Bench-distribution source files, built in 50k chunks under distinct
+    seeds so every size has the same per-row work profile."""
+    from language_identification_spark.datagen.corpus import generate_source_files
+
+    path = os.path.join(CACHE, f"lin_src_{n}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        chunk = 50_000
+        mode = "overwrite"
+        for i in range(0, n, chunk):
+            pdf, _ = generate_source_files(min(chunk, n - i), seed=1000 + i)
+            (
+                spark.createDataFrame(pdf)
+                .repartition(4 * CORES)
+                .write.mode(mode)
+                .parquet(path)
+            )
+            mode = "append"
+    return path
+
+
+_VOCAB = None
+
+
+def _jc_corpus(spark, n: int) -> str:
+    """~300-char docs with constant dup density (7 unique : 1 near-dup :
+    1 exact dup : 1 short per 10 docs) and cluster size <= 2."""
+    global _VOCAB
+    path = os.path.join(CACHE, f"lin_docs_{n}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import pandas as pd
+
+    if _VOCAB is None:
+        rng = np.random.default_rng(7)
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        _VOCAB = [
+            "".join(rng.choice(letters, size=int(rng.integers(3, 9))))
+            for _ in range(4000)
+        ]
+    rng = np.random.default_rng(n)  # distinct corpus per size, same law
+    vocab = np.array(_VOCAB)
+    texts: list[str] = []
+    for b in range(n // 10):
+        uniques = [
+            " ".join(rng.choice(vocab, size=45)) for _ in range(8)
+        ]
+        near = uniques[0].split(" ")
+        for pos in rng.integers(0, len(near), size=3):
+            near[int(pos)] = str(vocab[int(rng.integers(0, len(vocab)))])
+        texts.extend(uniques)  # 8 uniques (one of them is the near-dup base)
+        texts.append(" ".join(near))  # near-dup of uniques[0]
+        texts.append(uniques[1])  # exact dup of uniques[1]
+    texts = texts[:n]
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    spark.createDataFrame(pdf).repartition(4 * CORES).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def measure(name: str, sizes: list[int], make_run, probes: list[float]) -> dict:
+    from bench import host_phase_probe, wait_for_clean_phase
+
+    rows_per_sec: dict[int, float] = {}
+    samples: dict[int, list[float]] = {}
+    for n in sizes:
+        readings = wait_for_clean_phase(1.5, 120.0, sleep_s=15.0)
+        probes.extend(readings)
+        print(f"[lin] {name} n={n} probes {readings}", file=sys.stderr)
+        run = make_run(n)
+        run()  # warm pass (allocator pools, page-cache, codegen)
+        walls = []
+        for _ in range(PASSES):
+            t0 = time.monotonic()
+            run()
+            walls.append(round(time.monotonic() - t0, 3))
+        samples[n] = walls
+        rows_per_sec[n] = round(n / min(walls), 1)
+        print(f"[lin] {name} n={n}: {walls} -> {rows_per_sec[n]} rows/s",
+              file=sys.stderr)
+    tps = list(rows_per_sec.values())
+    deviation = round(max(tps) / min(tps), 3)
+    return {
+        "workload": name,
+        "cores": CORES,
+        "sizes": sizes,
+        "samples": {str(k): v for k, v in samples.items()},
+        "min_wall_s": {str(k): min(v) for k, v in samples.items()},
+        "rows_per_sec": {str(k): v for k, v in rows_per_sec.items()},
+        "linearity_deviation": deviation,
+        "linear_within_1p3x": deviation <= 1.3,
+    }
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    qf_sizes = QF_SIZES[:2] if quick else QF_SIZES
+    jc_sizes = JC_SIZES[:2] if quick else JC_SIZES
+
+    from language_identification_spark.operators.dedup import jaccard_pairs
+    from language_identification_spark.plans.pipeline import quality_filter
+    from language_identification_spark.session import get_spark
+
+    spark = get_spark("linearity", cores=CORES)
+    probes: list[float] = []
+
+    def qf_run(n: int):
+        path = _qf_corpus(spark, n)
+        return lambda: _noop(quality_filter(spark.read.parquet(path)))
+
+    def jc_run(n: int):
+        path = _jc_corpus(spark, n)
+        return lambda: _noop(
+            jaccard_pairs(spark.read.parquet(path), "text", "doc_id", 0.5)
+        )
+
+    out = [
+        measure("quality_filter", qf_sizes, qf_run, probes),
+        measure("jaccard_pairs", jc_sizes, jc_run, probes),
+    ]
+    for rec in out:
+        rec["host_probes_s"] = probes
+        print(json.dumps(rec))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

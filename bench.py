@@ -21,6 +21,11 @@ Round-3 measurement hardening (VERDICT r02 "what's wrong" #1/#2):
   limiter ``BENCH/host_ceiling.py`` isolated) runs before measurement;
   in a degraded phase the bench waits and re-probes (bounded) instead of
   measuring garbage, and every probe reading is published in the JSON.
+- Round 4: the probe also gates MID-RUN (VERDICT r03 #1) — before each
+  headline's first sample, after any sample regressing >1.5x the running
+  min, and before extensions taken to confirm an unconfirmed min; the
+  extension rule itself now extends until the min is confirmed by a second
+  sample within 15%, not merely until samples stop improving.
 - The ANN headline is the write-side-index probe path
   (``ivf_topk_indexed``): index build timed once as ``ann_index_build``,
   probes timed separately — the number now reflects the 100 TB design
@@ -116,7 +121,9 @@ def main() -> None:
 
     # pre-flight host-phase gate (before the JVM exists, so the probe
     # measures the host, not Spark)
-    probe_threshold = float(os.environ.get("BENCH_PROBE_THRESHOLD_S", "1.5"))
+    # clean-phase nominal is ~0.3-0.6s (docs/SCALE.md); 1.5 let semi-degraded
+    # phases through in BENCH_r03/r04-try1, so the gate now demands ≤0.8
+    probe_threshold = float(os.environ.get("BENCH_PROBE_THRESHOLD_S", "0.8"))
     probe_wait = float(os.environ.get("BENCH_PROBE_MAX_WAIT_S", "120"))
     probes = wait_for_clean_phase(probe_threshold, probe_wait)
     print(f"[bench] host probes: {probes}", file=sys.stderr)
@@ -146,6 +153,12 @@ def main() -> None:
             0.5,
         )
     )
+    # one FULL-SCALE untimed pass of each headline: the slim warmup above
+    # never touches full-size Arrow buffers, so the first full pass pays the
+    # whole first-touch cost (observed 60-75s vs ~3-20s steady on identical
+    # code) — that pass belongs in warmup, not in the measured samples
+    _noop(quality_filter(spark.read.parquet(src_path)))
+    _noop(em._q_minhash_pairs(spark, SF_DIR))
     print(f"[bench] warmup: {time.monotonic()-t_w:.1f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -159,14 +172,39 @@ def main() -> None:
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "600"))
     t_meas = time.monotonic()
 
+    # mid-run host gate (VERDICT r03 #1): the pre-flight probe gates only the
+    # START of the run — in BENCH_r03 a degraded phase began after it passed
+    # and the headline stood on a single early sample.  Gated queries now
+    # re-probe (bounded sleep-and-re-probe) before their first sample, after
+    # any sample that regresses >1.5x the running min, and before an
+    # extension whose purpose is confirming an unconfirmed min.
+    midrun_wait = float(os.environ.get("BENCH_MIDRUN_WAIT_S", "60"))
+
     def timed(
         name: str,
         fn,
         runs: int = 1,
         protected: bool = False,
         extra_until_stable: int = 0,
+        gated: bool = False,
     ) -> None:
-        samples = []
+        samples: list[float] = []
+
+        def gate(why: str) -> None:
+            if not gated:
+                return
+            readings = wait_for_clean_phase(
+                probe_threshold, midrun_wait, sleep_s=10.0
+            )
+            probes.extend(readings)
+            print(f"[bench] {name} gate ({why}): {readings}", file=sys.stderr)
+
+        def one_run() -> None:
+            t0 = time.monotonic()
+            fn()
+            samples.append(round(time.monotonic() - t0, 3))
+
+        gate("pre-first-sample")
         for i in range(runs):
             if (
                 not protected
@@ -175,20 +213,28 @@ def main() -> None:
             ):
                 print(f"[bench] {name}: budget hit, {i} run(s)", file=sys.stderr)
                 break
-            t0 = time.monotonic()
-            fn()
-            samples.append(round(time.monotonic() - t0, 3))
-        # extra runs while the samples are still materially improving (the
-        # local[32] first-touch pathology can decay over >3 passes); these
-        # DO respect the budget — only the base runs are unconditional
+            if samples and samples[-1] > 1.5 * min(samples):
+                gate("sample regressed >1.5x min")
+            one_run()
+        # extra runs while (a) samples are still materially improving (the
+        # local[32] first-touch pathology can decay over >3 passes) OR
+        # (b) the running min has not been CONFIRMED by a second sample
+        # within 15% — the BENCH_r03 failure mode was samples 23→46→50,
+        # where "stop when not improving" froze a single-good-sample min.
+        # Extras DO respect the budget — only the base runs are unconditional.
         for _ in range(extra_until_stable):
             if time.monotonic() - t_meas > budget_s:
                 break
-            if not samples[-1] < 0.85 * min(samples[:-1] or [float("inf")]):
+            m = min(samples)
+            confirmed = sum(1 for s in samples if s <= 1.15 * m) >= 2
+            improving = samples[-1] < 0.85 * min(samples[:-1] or [float("inf")])
+            if confirmed and not improving:
                 break
-            t0 = time.monotonic()
-            fn()
-            samples.append(round(time.monotonic() - t0, 3))
+            if not improving:
+                # extending only to confirm the min: make sure the host is
+                # in a clean phase first, or the extra sample is wasted
+                gate("min unconfirmed")
+            one_run()
         # min = steady-state (environment noise on this host only ever adds
         # time); every sample is reported alongside
         timings[name] = min(samples)
@@ -203,14 +249,16 @@ def main() -> None:
         lambda: _noop(quality_filter(spark.read.parquet(src_path))),
         runs=3,
         protected=True,
-        extra_until_stable=3,
+        extra_until_stable=4,
+        gated=True,
     )
     timed(
         "minhash_jaccard_pairs",
         lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
         runs=3,
         protected=True,
-        extra_until_stable=3,
+        extra_until_stable=4,
+        gated=True,
     )
 
     # ANN: the write-side index is the 100 TB design — time the one-off
