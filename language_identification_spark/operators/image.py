@@ -1,0 +1,155 @@
+"""Pure-numpy image decode for uncompressed formats (no codec libraries).
+
+This container ships no PIL/opencv, but two ubiquitous formats need none:
+
+- **PGM/PPM binary** (``P5``/``P6``): ASCII header (magic, width, height,
+  maxval, ``#`` comments) followed by raw big-endian samples — the netpbm
+  spec.
+- **BMP** (``BM``): 14-byte file header + BITMAPINFOHEADER, uncompressed
+  (``BI_RGB``) 8/24/32-bit pixels, rows padded to 4 bytes, bottom-up unless
+  height is negative — the Windows DIB spec.
+
+Both decode to a float32 luminance matrix in [0, 1] (Rec. 601 weights for
+color), which is what the multimodal feature stage consumes.  Compressed
+formats (PNG/JPEG) genuinely need codec libraries and keep the honest
+deterministic-fake path in ``multimodal._decode``.
+
+Scale notes: decode is per-payload numpy inside Arrow-batched
+``mapInPandas`` — no Python-per-pixel work; a corrupt payload raises
+``ValueError`` and the caller nulls the row out rather than failing the job
+(same contract as ``operators/wav.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_REC601 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """'pnm' | 'bmp' | None for unsupported/compressed formats."""
+    if payload[:2] in (b"P5", b"P6"):
+        return "pnm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` whitespace-separated integer tokens after the magic,
+    skipping ``#`` comments; returns (tokens, offset_after_last_delimiter)."""
+    toks: list[int] = []
+    i = 2  # past magic
+    while len(toks) < n:
+        if i >= len(buf):
+            raise ValueError("truncated PNM header")
+        c = buf[i : i + 1]
+        if c == b"#":
+            i = buf.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            tok = buf[i:j]
+            if not tok.isdigit():
+                raise ValueError(f"bad PNM header token {tok!r}")
+            toks.append(int(tok))
+            i = j
+    return toks, i + 1  # exactly ONE whitespace after maxval, per spec
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6) → float32 luminance (H, W) in [0, 1]."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    (w, h, maxval), off = _pnm_tokens(payload, 3)
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"bad PNM dimensions {w}x{h} maxval={maxval}")
+    ch = 3 if magic == b"P6" else 1
+    dt = np.dtype(">u2") if maxval > 255 else np.dtype("u1")
+    need = w * h * ch * dt.itemsize
+    raw = payload[off : off + need]
+    if len(raw) < need:
+        raise ValueError("truncated PNM pixel data")
+    px = np.frombuffer(raw, dtype=dt).astype(np.float32) / float(maxval)
+    if ch == 3:
+        return px.reshape(h, w, 3) @ _REC601
+    return px.reshape(h, w)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 8/24/32-bit BMP → float32 luminance (H, W)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:  # BI_RGB only; RLE/bitfields need real codec work
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
+    flipped = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = ((w * bpp // 8) + 3) & ~3  # rows padded to 4 bytes
+    need = stride * h
+    raw = payload[pix_off : pix_off + need]
+    if len(raw) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if bpp == 8:
+        # 8-bit is palette-indexed; treat the index as gray (identity
+        # palettes are the overwhelmingly common grayscale case)
+        img = rows[:, :w].astype(np.float32) / 255.0
+    else:
+        nb = bpp // 8
+        px = rows[:, : w * nb].reshape(h, w, nb).astype(np.float32) / 255.0
+        img = px[:, :, 2::-1][:, :, :3] @ _REC601  # stored B,G,R(,A)
+    return img[::-1] if flipped else img
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes; raises ValueError for unsupported formats."""
+    fmt = sniff_format(payload)
+    if fmt == "pnm":
+        return decode_pnm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    raise ValueError("unsupported image format (only raw PNM/BMP decode "
+                     "without codec libraries)")
+
+
+def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style downscale/upscale without interpolation libraries: each
+    output cell is the mean of its (possibly ragged) source block — ragged
+    edges handled by bincount over a per-pixel target-cell index, fully
+    vectorized."""
+    h, w = img.shape
+    ri = (np.arange(h) * out_h // h).astype(np.int64)
+    ci = (np.arange(w) * out_w // w).astype(np.int64)
+    cell = ri[:, None] * out_w + ci[None, :]
+    sums = np.bincount(cell.ravel(), weights=img.ravel().astype(np.float64),
+                       minlength=out_h * out_w)
+    counts = np.bincount(cell.ravel(), minlength=out_h * out_w)
+    return (sums / np.maximum(counts, 1)).reshape(out_h, out_w).astype(
+        np.float32
+    )
+
+
+def grid_feature(img: np.ndarray, dim: int = 16) -> np.ndarray:
+    """FEATURE_DIM luminance grid: block-mean resize to (dim//4 x 4)-ish —
+    concretely a 4x(dim//4) grid flattened row-major — the image analog of
+    the WAV per-segment RMS envelope."""
+    rows = 4
+    cols = max(dim // rows, 1)
+    return resize_block_mean(img, rows, cols).ravel()[:dim].astype(np.float32)

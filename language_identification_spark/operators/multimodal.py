@@ -2,10 +2,13 @@
 
 Image/audio/video payloads travel as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages.  The actual codec work is STUBBED (this container has
-no image/audio libraries — see the module-level ``HAVE_*`` gates); the
-Spark-side contract — schema, batch iteration, partition behavior, UDF
-signatures — is real and tested.
+``mapInPandas`` stages.  Audio WAV decode is real (``operators/wav.py``,
+stdlib ``wave`` + numpy) and so is uncompressed-image decode
+(``operators/image.py``, pure-numpy PNM/BMP).  Only COMPRESSED codecs
+(PNG/JPEG/video), which need libraries this container lacks, are stubbed
+behind a deterministic hash fake; the Spark-side contract — schema, batch
+iteration, partition behavior, UDF signatures — is real and tested either
+way.
 
 The normalize semantics mirror the reference's audio conversion utility
 (``/root/reference/convert_audio_optimized.py:37-104``: resample to a target
@@ -31,13 +34,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
-
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
-
-    HAVE_PIL = True
-except Exception:  # noqa: BLE001
-    HAVE_PIL = False
 
 MEDIA_SCHEMA = StructType(
     [
@@ -70,8 +66,11 @@ def _decode(kind: str, payload: bytes) -> np.ndarray:
     Audio WAV payloads decode for REAL (stdlib ``wave`` + numpy, see
     ``operators/wav.py``): per-segment RMS energy over FEATURE_DIM equal
     time slices of the mono signal — the deterministic acoustic envelope.
-    Image/video codecs are genuinely absent from this container, so those
-    kinds keep the deterministic hash fake (clearly a stub, not silent)."""
+    Image PNM/BMP payloads also decode for REAL (pure-numpy
+    ``operators/image.py``): a 4x4 block-mean luminance grid, the image
+    analog of the RMS envelope.  Only COMPRESSED image/video codecs
+    (PNG/JPEG/H.264), which genuinely need libraries this container lacks,
+    keep the deterministic hash fake (clearly a stub, not silent)."""
     if kind == "audio" and payload and bytes(payload).startswith(b"RIFF"):
         from language_identification_spark.operators.wav import decode_pcm, to_mono
 
@@ -87,9 +86,20 @@ def _decode(kind: str, payload: bytes) -> np.ndarray:
                 segs = mono[: seg * FEATURE_DIM].reshape(FEATURE_DIM, seg)
                 return np.sqrt((segs * segs).mean(axis=1)).astype(np.float32)
             return np.zeros(FEATURE_DIM, dtype=np.float32)
-    if HAVE_PIL and kind == "image":  # pragma: no cover
-        raise NotImplementedError("real image decode not wired in this sandbox")
-    # deterministic fake: payload bytes -> fixed-dim feature via hashing
+    if kind == "image" and payload:
+        from language_identification_spark.operators.image import (
+            decode_image,
+            grid_feature,
+            sniff_format,
+        )
+
+        if sniff_format(bytes(payload)) is not None:
+            try:
+                return grid_feature(decode_image(bytes(payload)), FEATURE_DIM)
+            except ValueError:  # corrupt payload: hash-fake fallback,
+                pass  # never a job failure at 100 TB
+    # deterministic fake (compressed codecs, corrupt or unknown payloads):
+    # payload bytes -> fixed-dim feature via hashing
     digest = hashlib.sha256(payload or b"").digest()
     arr = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16)
     return (arr.astype(np.float32) / 65535.0)[:FEATURE_DIM]

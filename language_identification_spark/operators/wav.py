@@ -158,40 +158,40 @@ CONVERTED_SCHEMA = StructType(
 def _convert_batches(
     target_rate: int, headroom_db: float
 ):
+    def conv_one(payload) -> bytes | None:
+        # variable-length audio decode is inherently per-payload; each call
+        # is numpy inside.  ONE bytes() materialization per row (it is a
+        # no-op when Arrow already hands us bytes); non-WAV and corrupt rows
+        # surface as None, not job failures — a 100 TB run must not die on
+        # one payload.
+        if payload is None:
+            return None
+        b = bytes(payload)
+        if not b.startswith(b"RIFF"):
+            return None
+        try:
+            return convert_wav(b, target_rate, headroom_db)
+        except Exception:  # noqa: BLE001 — truncated/corrupt WAV
+            return None
+
+    _NULL_PROPS = (None, None, None, None)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": [],
-                "payload": [],
-                "sample_rate": [],
-                "n_frames": [],
-                "channels": [],
-                "sample_width": [],
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out["media_id"].append(mid)
-                conv = None
-                if payload is not None and bytes(payload).startswith(b"RIFF"):
-                    try:
-                        conv = convert_wav(bytes(payload), target_rate, headroom_db)
-                    except Exception:  # noqa: BLE001 — truncated/corrupt WAV
-                        conv = None
-                if conv is None:
-                    # non-WAV and corrupt rows surface as nulls, not job
-                    # failures — a 100 TB run must not die on one payload
-                    out["payload"].append(None)
-                    out["sample_rate"].append(None)
-                    out["n_frames"].append(None)
-                    out["channels"].append(None)
-                    out["sample_width"].append(None)
-                    continue
-                ch, width, rate, n = wav_props(conv)
-                out["payload"].append(conv)
-                out["sample_rate"].append(rate)
-                out["n_frames"].append(n)
-                out["channels"].append(ch)
-                out["sample_width"].append(width)
-            yield pd.DataFrame(out)
+            convs = [conv_one(p) for p in pdf["payload"]]
+            props = [
+                wav_props(c) if c is not None else _NULL_PROPS for c in convs
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": convs,
+                    "sample_rate": [p[2] for p in props],
+                    "n_frames": [p[3] for p in props],
+                    "channels": [p[0] for p in props],
+                    "sample_width": [p[1] for p in props],
+                }
+            )
 
     return gen
 

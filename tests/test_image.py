@@ -1,0 +1,132 @@
+"""Pure-numpy PNM/BMP decode: spec-conformant payloads constructed by hand
+round-trip to the expected luminance matrices; corrupt payloads raise
+ValueError (nulled upstream, never a job failure); the multimodal feature
+stage picks up the real decoder for sniffable image payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from language_identification_spark.operators.image import (
+    decode_bmp,
+    decode_image,
+    decode_pnm,
+    grid_feature,
+    resize_block_mean,
+    sniff_format,
+)
+
+
+def _pgm(gray: np.ndarray, maxval: int = 255) -> bytes:
+    h, w = gray.shape
+    dt = ">u2" if maxval > 255 else "u1"
+    return (
+        f"P5\n# comment\n{w} {h}\n{maxval}\n".encode()
+        + gray.astype(dt).tobytes()
+    )
+
+
+def _ppm(rgb: np.ndarray) -> bytes:
+    h, w, _ = rgb.shape
+    return f"P6 {w} {h} 255\n".encode() + rgb.astype("u1").tobytes()
+
+
+def _bmp24(rgb: np.ndarray, top_down: bool = False) -> bytes:
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    for r in order:
+        row = rgb[r][:, ::-1].astype("u1").tobytes()  # stored B,G,R
+        rows.append(row + b"\x00" * (stride - len(row)))
+    pix = b"".join(rows)
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (h if not top_down else -h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
+    )
+    return header + pix
+
+
+def test_pgm_roundtrip_8_and_16_bit():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    got = decode_pnm(_pgm(gray))
+    assert got.shape == (3, 4)
+    np.testing.assert_allclose(got, gray / 255.0, atol=1e-6)
+    gray16 = (np.arange(12).reshape(3, 4) * 5000).astype(np.uint16)
+    got16 = decode_pnm(_pgm(gray16, maxval=65535))
+    np.testing.assert_allclose(got16, gray16 / 65535.0, atol=1e-6)
+
+
+def test_ppm_luminance_weights():
+    # pure red / green / blue pixels → Rec.601 weights exactly
+    rgb = np.zeros((1, 3, 3), dtype=np.uint8)
+    rgb[0, 0, 0] = 255  # red
+    rgb[0, 1, 1] = 255  # green
+    rgb[0, 2, 2] = 255  # blue
+    got = decode_pnm(_ppm(rgb))
+    np.testing.assert_allclose(got[0], [0.299, 0.587, 0.114], atol=1e-6)
+
+
+def test_bmp_matches_ppm_and_handles_row_order_and_padding():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)  # w=3: padded rows
+    rgb = np.stack([rgb] * 3, axis=-1)  # gray-ish 5x3 image
+    via_ppm = decode_pnm(_ppm(rgb))
+    via_bmp = decode_bmp(_bmp24(rgb))
+    via_bmp_td = decode_bmp(_bmp24(rgb, top_down=True))
+    np.testing.assert_allclose(via_bmp, via_ppm, atol=1e-6)
+    np.testing.assert_allclose(via_bmp_td, via_ppm, atol=1e-6)
+
+
+def test_corrupt_payloads_raise_value_error():
+    for bad in [
+        b"P6 4 4 255\nshort",  # truncated pixels
+        b"P6 0 4 255\n",  # zero width
+        b"P7 4 4 255\n" + b"\x00" * 48,  # unknown magic
+        b"BM" + b"\x00" * 20,  # truncated BMP header
+        _bmp24(np.zeros((2, 2, 3), dtype=np.uint8))[:-3],  # truncated pixels
+    ]:
+        with pytest.raises(ValueError):
+            decode_image(bad)
+    assert sniff_format(b"\x89PNG\r\n") is None  # compressed: not sniffable
+
+
+def test_resize_block_mean_exact_on_even_blocks():
+    img = np.arange(16, dtype=np.float32).reshape(4, 4)
+    got = resize_block_mean(img, 2, 2)
+    np.testing.assert_allclose(
+        got, [[2.5, 4.5], [10.5, 12.5]], atol=1e-6
+    )
+    # ragged 3x3 -> 2x2 still partitions every pixel exactly once
+    img3 = np.ones((3, 3), dtype=np.float32)
+    np.testing.assert_allclose(resize_block_mean(img3, 2, 2), np.ones((2, 2)))
+
+
+def test_multimodal_feature_uses_real_decoder():
+    from language_identification_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode,
+    )
+
+    gray = np.full((8, 8), 128, dtype=np.uint8)
+    feat = _decode("image", _pgm(gray))
+    assert feat.shape == (FEATURE_DIM,)
+    np.testing.assert_allclose(feat, 128 / 255.0, atol=1e-6)
+    # grid cells reflect spatial structure: bright top half, dark bottom
+    gray[:4] = 255
+    gray[4:] = 0
+    feat = _decode("image", _pgm(gray))
+    assert feat[:8].mean() > 0.9 and feat[8:].mean() < 0.1
+    # unknown format falls back to the deterministic hash fake, not an error
+    fake = _decode("image", b"\x89PNG definitely-not-decodable")
+    assert fake.shape == (FEATURE_DIM,)
