@@ -1461,16 +1461,39 @@ def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from language_identification_spark.operators.similarity import build_ann_index
 
+    from language_identification_spark.operators.similarity import (
+        _CENTROID_FILE,
+    )
+
     src = f"{sf_dir}/embeddings.parquet"
     h = hashlib.sha256()
-    for root, _dirs, files in sorted(os.walk(src)):
-        for fn in sorted(files):
-            st = os.stat(os.path.join(root, fn))
-            h.update(f"{fn}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    # the source may be a single parquet FILE or a directory of parts —
+    # os.walk on a file yields nothing, which silently degenerated the
+    # fingerprint to sha256("") and pinned one cache dir forever (round-4
+    # find: the strict sidecar check flushed out a stale pre-sidecar index
+    # living under exactly that empty-hash name)
+    paths = (
+        [src]
+        if os.path.isfile(src)
+        else [
+            os.path.join(root, fn)
+            for root, _dirs, files in sorted(os.walk(src))
+            for fn in sorted(files)
+        ]
+    )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}\n".encode())
     idx_dir = os.path.join(
         tempfile.gettempdir(), f"ann_index_{h.hexdigest()[:16]}"
     )
-    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+    # a complete cache has BOTH the parquet _SUCCESS and the centroid
+    # sidecar; anything less (older layout, crash between the two writes)
+    # rebuilds — ivf_topk_indexed refuses sidecar-less indexes by design
+    if not (
+        os.path.exists(os.path.join(idx_dir, "_SUCCESS"))
+        and os.path.exists(os.path.join(idx_dir, _CENTROID_FILE))
+    ):
         build_ann_index(spark.read.parquet(src), idx_dir)
     return idx_dir
 
