@@ -26,6 +26,11 @@ Workload construction keeps per-row work constant across sizes:
   cluster size — per 10 docs: 7 unique, 1 near-dup, 1 exact dup, 1 short.
   Candidate-pair count then scales linearly in rows by construction, so a
   superlinear wall would be the engine's fault, not the workload's.
+  The vocabulary must be LARGE (64k words): with a 4k vocab the round-4
+  first attempt measured chance minhash-band collisions between unrelated
+  docs growing quadratically (791 → 3,081 → 12,153 excess candidates at
+  15/30/60k docs — a birthday effect in the corpus, not engine
+  superlinearity; verified true pairs stayed exactly 200/kdoc).
 
 Protocol (BENCH/SCALING_RUNS.md methodology): one warm pass then min-of-3
 steady-state samples per size; host-phase probe (bench.host_phase_probe)
@@ -86,7 +91,7 @@ def _jc_corpus(spark, n: int) -> str:
     """~300-char docs with constant dup density (7 unique : 1 near-dup :
     1 exact dup : 1 short per 10 docs) and cluster size <= 2."""
     global _VOCAB
-    path = os.path.join(CACHE, f"lin_docs_{n}.parquet")
+    path = os.path.join(CACHE, f"lin_docs_v2_{n}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     import pandas as pd
@@ -94,9 +99,12 @@ def _jc_corpus(spark, n: int) -> str:
     if _VOCAB is None:
         rng = np.random.default_rng(7)
         letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        # one vectorized draw for all words: 64k words x 5-10 letters
+        lens = rng.integers(5, 11, size=65536)
+        flat = rng.choice(letters, size=int(lens.sum()))
+        bounds = np.concatenate(([0], np.cumsum(lens)))
         _VOCAB = [
-            "".join(rng.choice(letters, size=int(rng.integers(3, 9))))
-            for _ in range(4000)
+            "".join(flat[bounds[i] : bounds[i + 1]]) for i in range(len(lens))
         ]
     rng = np.random.default_rng(n)  # distinct corpus per size, same law
     vocab = np.array(_VOCAB)
@@ -167,6 +175,9 @@ def measure(name: str, sizes: list[int], make_run, probes: list[float]) -> dict:
 
 def main() -> None:
     quick = "--quick" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     qf_sizes = QF_SIZES[:2] if quick else QF_SIZES
     jc_sizes = JC_SIZES[:2] if quick else JC_SIZES
 
@@ -187,10 +198,11 @@ def main() -> None:
             jaccard_pairs(spark.read.parquet(path), "text", "doc_id", 0.5)
         )
 
-    out = [
-        measure("quality_filter", qf_sizes, qf_run, probes),
-        measure("jaccard_pairs", jc_sizes, jc_run, probes),
-    ]
+    out = []
+    if only in (None, "quality_filter", "qf"):
+        out.append(measure("quality_filter", qf_sizes, qf_run, probes))
+    if only in (None, "jaccard_pairs", "jc"):
+        out.append(measure("jaccard_pairs", jc_sizes, jc_run, probes))
     for rec in out:
         rec["host_probes_s"] = probes
         print(json.dumps(rec))

@@ -162,7 +162,7 @@ Pre-round host probes (s, allocation-heavy mp kernel; clean phase < 1.5):
             "Scaling-efficiency evidence per BASELINE.json:north_rule (>=0.8\n"
             "from N to 4N). Correctness gates: F1>=0.99 vs the frozen labeler\n"
             "(tests/test_pipeline_f1.py), sha256 pass-through equality, DuckDB\n"
-            "oracle agreement 27/27 at sf0.01 (tools/check_oracles.py).\n\n"
+            "oracle agreement 28/28 at sf0.01 (tools/check_oracles.py).\n\n"
         )
         with open(out_path, "w") as f:
             f.write(header + section)
