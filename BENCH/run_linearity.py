@@ -23,7 +23,8 @@ Workload construction keeps per-row work constant across sizes:
   (identical distribution of languages/defect classes at every size).
 - jaccard_pairs: synthetic ~300-char documents (the driver's sf0.1
   ``documents`` text-length profile) with CONSTANT dup density and bounded
-  cluster size — per 10 docs: 7 unique, 1 near-dup, 1 exact dup, 1 short.
+  cluster size — per 10 docs: 8 unique (one of which serves as the
+  near-dup base), 1 near-dup, 1 exact dup.
   Candidate-pair count then scales linearly in rows by construction, so a
   superlinear wall would be the engine's fault, not the workload's.
   The vocabulary must be LARGE (64k words): with a 4k vocab the round-4
@@ -69,7 +70,13 @@ def _qf_corpus(spark, n: int) -> str:
     from language_identification_spark.datagen.corpus import generate_source_files
 
     path = os.path.join(CACHE, f"lin_src_{n}.parquet")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # parquet _SUCCESS appears after the FIRST chunked write, so it cannot
+    # mark multi-chunk completeness — an interrupted build would be reused
+    # as "complete" and every later measurement silently divided by the
+    # wrong row count (round-4 review).  A sidecar written after the LAST
+    # chunk is the completeness marker.
+    done_marker = os.path.join(CACHE, f"lin_src_{n}.complete")
+    if not os.path.exists(done_marker):
         chunk = 50_000
         mode = "overwrite"
         for i in range(0, n, chunk):
@@ -81,6 +88,8 @@ def _qf_corpus(spark, n: int) -> str:
                 .parquet(path)
             )
             mode = "append"
+        assert spark.read.parquet(path).count() == n
+        open(done_marker, "w").close()
     return path
 
 
@@ -88,8 +97,9 @@ _VOCAB = None
 
 
 def _jc_corpus(spark, n: int) -> str:
-    """~300-char docs with constant dup density (7 unique : 1 near-dup :
-    1 exact dup : 1 short per 10 docs) and cluster size <= 2."""
+    """~300-char docs with constant dup density (8 unique : 1 near-dup :
+    1 exact dup per 10 docs; clusters of size 2) over a 64k-word vocab —
+    large enough that chance minhash-band collisions stay negligible."""
     global _VOCAB
     path = os.path.join(CACHE, f"lin_docs_v2_{n}.parquet")
     if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -133,7 +143,9 @@ def measure(name: str, sizes: list[int], make_run, probes: list[float]) -> dict:
     rows_per_sec: dict[int, float] = {}
     samples: dict[int, list[float]] = {}
     for n in sizes:
-        readings = wait_for_clean_phase(1.5, 120.0, sleep_s=15.0)
+        # 0.8s threshold, matching bench.py's round-4 tightening (1.5 let
+        # semi-degraded phases through)
+        readings = wait_for_clean_phase(0.8, 120.0, sleep_s=15.0)
         probes.extend(readings)
         print(f"[lin] {name} n={n} probes {readings}", file=sys.stderr)
         run = make_run(n)

@@ -545,7 +545,10 @@ def _numpy_train_centroids(mat: np.ndarray, k: int, iters: int) -> np.ndarray:
             new[c] = mat[cells == c].mean(axis=0)
         n2 = np.linalg.norm(new, axis=1, keepdims=True)
         n2[n2 == 0] = 1.0
-        cent = new / n2
+        # same 9-decimal per-iteration quantization as train_ivf_centroids:
+        # keeps the two training trajectories bit-identical despite
+        # summation-order ulps between distributed avg and np.mean
+        cent = np.round(new / n2, 9)
     return cent
 
 
@@ -553,14 +556,27 @@ _TRAINED_IVF_K = 32
 _TRAINED_IVF_ITERS = 4
 
 
-def _sql_ivf_topk_trained() -> str:
+def _sql_ivf_topk_trained() -> str | None:
     """Oracle for the trained-quantizer IVF path.  The driver's correctness
-    gate runs oracles at sf0.01 by contract, so the centroids are derived
-    from the sf0.01 embeddings table read directly (deterministic: seeded
-    init, no sampling, fixed data)."""
+    gate runs oracles at sf0.01 by contract, so the centroid literals are
+    derived from that table (override with ``SPARK_GRAFT_ORACLE_SF_DIR`` to
+    check against another scale — ``tools/check_oracles.py`` sets it from
+    its sf_dir argument).  Deterministic: seeded init, no sampling, fixed
+    data.  Returns None (the entry is then omitted, degrading to the
+    driver's weaker rows-only check) when the table is unreadable —
+    ``oracle_sql()`` must never crash wholesale over one data-dependent
+    oracle (round-4 review)."""
+    import os
+
     import pandas as pd
 
-    pdf = pd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    except (FileNotFoundError, OSError):
+        return None
     pdf = pdf.sort_values("vec_id")
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     cent = _numpy_train_centroids(mat, _TRAINED_IVF_K, _TRAINED_IVF_ITERS)
@@ -1754,7 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "lang_canon": _SQL_LANG_CANON,
         "sessionize_events": _SQL_SESSIONIZE,
         "heuristic_flags": _SQL_HEURISTIC_FLAGS,
@@ -1784,3 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _sql_dedup_components(),
         "dedup_representatives": _sql_dedup_representatives(),
     }
+    # a data-dependent oracle generator may return None (source table
+    # unreadable on this host) — omit the entry rather than ship a broken
+    # SQL string; the driver then records its weaker rows-only check
+    return {k: v for k, v in out.items() if v is not None}

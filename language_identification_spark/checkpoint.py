@@ -115,28 +115,38 @@ def stage_source(
     different source raises instead of corrupting the run (ADVICE r02).
     """
     meta_path = os.path.join(staging_dir, "_staging_meta.json")
-    meta = {"n_buckets": n_buckets, "source": _source_fingerprint(src)}
+    # "v" is the fingerprint-scheme version: bump it whenever
+    # _source_fingerprint changes what it hashes, so tables staged under an
+    # OLDER scheme re-stage with a warning (their fingerprints are simply
+    # incomparable) instead of raising a spurious source-changed error on
+    # resume (round-4 review; v2 = schema+plan+input-file stat)
+    meta = {"v": 2, "n_buckets": n_buckets, "source": _source_fingerprint(src)}
     reuse = False
     if os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
-        if not os.path.exists(meta_path):
-            # pre-metadata staging table, or a crash landed between the
-            # parquet _SUCCESS and the meta write: provenance is unknown, so
-            # re-stage (overwrite is idempotent) instead of failing the
-            # resume or trusting possibly-mismatched data (ADVICE r03)
-            log.warning(
-                "staging table at %s has no _staging_meta.json "
-                "(pre-metadata table or interrupted stage); re-staging",
-                staging_dir,
-            )
-        else:
+        prev = None
+        if os.path.exists(meta_path):
             with open(meta_path) as f:
                 prev = json.load(f)
-            if prev != meta:
-                raise ValueError(
-                    f"staging table at {staging_dir} was built with "
-                    f"{prev} but this run asked for {meta}; delete the "
-                    "staging dir (or point out_root elsewhere) to re-stage"
-                )
+        if prev is None or prev.get("v") != meta["v"]:
+            # pre-metadata table, interrupted stage, or an older
+            # fingerprint scheme: provenance can't be verified, so re-stage
+            # (overwrite is idempotent) instead of failing the resume or
+            # trusting possibly-mismatched data (ADVICE r03)
+            log.warning(
+                "staging table at %s has no comparable _staging_meta.json "
+                "(missing, interrupted, or fingerprint scheme v%s != v%s); "
+                "re-staging",
+                staging_dir,
+                None if prev is None else prev.get("v"),
+                meta["v"],
+            )
+        elif prev != meta:
+            raise ValueError(
+                f"staging table at {staging_dir} was built with "
+                f"{prev} but this run asked for {meta}; delete the "
+                "staging dir (or point out_root elsewhere) to re-stage"
+            )
+        else:
             reuse = True
     if not reuse:
         (

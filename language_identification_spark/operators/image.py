@@ -129,21 +129,33 @@ def decode_image(payload: bytes) -> np.ndarray:
                      "without codec libraries)")
 
 
+def _resample_axis(a: np.ndarray, out_n: int, axis: int) -> np.ndarray:
+    """One axis of the resize: block MEAN when shrinking (every source pixel
+    lands in exactly one output cell), NEAREST replication when growing
+    (every output cell reads exactly one source pixel).  Both directions
+    leave no output cell unmapped — the round-4 review caught the earlier
+    bincount formulation silently zero-filling output rows/cols whenever an
+    output dimension exceeded the image dimension."""
+    n = a.shape[axis]
+    if out_n <= n:
+        idx = (np.arange(n) * out_n) // n  # src -> out cell, nondecreasing
+        starts = np.searchsorted(idx, np.arange(out_n))
+        sums = np.add.reduceat(a, starts, axis=axis)
+        counts = np.diff(np.append(starts, n)).astype(np.float64)
+        shape = [1] * a.ndim
+        shape[axis] = out_n
+        return sums / counts.reshape(shape)
+    idx = (np.arange(out_n) * n) // out_n  # out -> src (nearest)
+    return np.take(a, idx, axis=axis)
+
+
 def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Area-style downscale/upscale without interpolation libraries: each
-    output cell is the mean of its (possibly ragged) source block — ragged
-    edges handled by bincount over a per-pixel target-cell index, fully
-    vectorized."""
-    h, w = img.shape
-    ri = (np.arange(h) * out_h // h).astype(np.int64)
-    ci = (np.arange(w) * out_w // w).astype(np.int64)
-    cell = ri[:, None] * out_w + ci[None, :]
-    sums = np.bincount(cell.ravel(), weights=img.ravel().astype(np.float64),
-                       minlength=out_h * out_w)
-    counts = np.bincount(cell.ravel(), minlength=out_h * out_w)
-    return (sums / np.maximum(counts, 1)).reshape(out_h, out_w).astype(
-        np.float32
-    )
+    """Area-style resize without interpolation libraries: per-axis block
+    means when shrinking, nearest replication when growing; fully
+    vectorized, every output cell covered in both directions."""
+    out = _resample_axis(img.astype(np.float64), out_h, 0)
+    out = _resample_axis(out, out_w, 1)
+    return out.astype(np.float32)
 
 
 def grid_feature(img: np.ndarray, dim: int = 16) -> np.ndarray:

@@ -88,14 +88,18 @@ def _decode(kind: str, payload: bytes) -> np.ndarray:
             return np.zeros(FEATURE_DIM, dtype=np.float32)
     if kind == "image" and payload:
         from language_identification_spark.operators.image import (
-            decode_image,
+            decode_bmp,
+            decode_pnm,
             grid_feature,
             sniff_format,
         )
 
-        if sniff_format(bytes(payload)) is not None:
+        b = bytes(payload)  # ONE materialization + ONE sniff per row
+        fmt = sniff_format(b)
+        if fmt is not None:
             try:
-                return grid_feature(decode_image(bytes(payload)), FEATURE_DIM)
+                img = decode_pnm(b) if fmt == "pnm" else decode_bmp(b)
+                return grid_feature(img, FEATURE_DIM)
             except ValueError:  # corrupt payload: hash-fake fallback,
                 pass  # never a job failure at 100 TB
     # deterministic fake (compressed codecs, corrupt or unknown payloads):

@@ -306,7 +306,13 @@ def train_ivf_centroids(
             new[r["cell"], r["pos"]] = r["m"]
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        cent = new / norms
+        # quantize each iteration's centroids to 9 decimals: Spark's
+        # distributed F.avg and an independent re-implementation's np.mean
+        # agree to ~1e-15 but not to the ulp (summation order), and an
+        # ulp-different centroid near a Voronoi boundary could flip a cell
+        # assignment — rounding far above the disagreement scale makes the
+        # training trajectory identical across engines and partitionings
+        cent = np.round(new / norms, 9)
     return cent
 
 

@@ -222,8 +222,12 @@ def make_merge_islands_eventtime(max_gap: int | float = float("inf")):
 
         wm = state.getCurrentWatermarkMs()
         pend.sort(key=lambda r: (r[1], r[2]))
-        ripe = [r for r in pend if r[3] <= wm]
-        pend = [r for r in pend if r[3] > wm]
+        # STRICTLY below the watermark: Spark's late-row filter drops only
+        # rows with ts strictly below it, so an equal-ts sibling can still
+        # arrive in a later batch — releasing at equality would process it
+        # out of sorted order (round-4 review)
+        ripe = [r for r in pend if r[3] < wm]
+        pend = [r for r in pend if r[3] >= wm]
         for label, start, end, _t in ripe:
             cur = _step(cur, label, start, end, closed, k)
 

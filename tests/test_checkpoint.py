@@ -214,3 +214,25 @@ def test_stage_source_detects_regenerated_source_files(spark, tmp_path):
     spark.createDataFrame(pdf2).write.mode("overwrite").parquet(src_dir)
     with _pytest.raises(ValueError, match="staging table"):
         stage_source(spark, spark.read.parquet(src_dir), root, N_BUCKETS)
+
+
+def test_stage_source_restages_on_older_fingerprint_scheme(spark, src, tmp_path):
+    # round-4 review: a table staged under an older fingerprint scheme must
+    # re-stage with a warning, not raise a spurious source-changed error.
+    import json as _json
+    import os
+
+    from language_identification_spark.checkpoint import stage_source
+
+    root = str(tmp_path / "oldscheme")
+    stage_source(spark, src, root, N_BUCKETS)
+    meta_path = os.path.join(root, "_staging_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    old = {k: v for k, v in meta.items() if k != "v"}  # v1-era meta
+    with open(meta_path, "w") as f:
+        _json.dump(old, f)
+    staged = stage_source(spark, src, root, N_BUCKETS)  # warns + re-stages
+    assert staged.count() == src.count()
+    with open(meta_path) as f:
+        assert _json.load(f)["v"] == meta["v"]

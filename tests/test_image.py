@@ -130,3 +130,28 @@ def test_multimodal_feature_uses_real_decoder():
     # unknown format falls back to the deterministic hash fake, not an error
     fake = _decode("image", b"\x89PNG definitely-not-decodable")
     assert fake.shape == (FEATURE_DIM,)
+
+
+def test_resize_covers_every_cell_when_upscaling():
+    # round-4 review: the first bincount formulation zero-filled output
+    # rows/cols whenever an output dimension exceeded the image dimension —
+    # an all-white 2-row image must produce an all-white 4-row grid.
+    img = np.ones((2, 8), dtype=np.float32)
+    np.testing.assert_allclose(resize_block_mean(img, 4, 4), np.ones((4, 4)))
+    # mixed: upscale rows, downscale cols
+    img2 = np.arange(16, dtype=np.float32).reshape(2, 8)
+    got = resize_block_mean(img2, 4, 2)
+    assert got.shape == (4, 2)
+    # nearest on rows: out rows [0,0,1,1]; mean on cols: halves of each row
+    np.testing.assert_allclose(got[0], got[1])
+    np.testing.assert_allclose(got[2], got[3])
+    np.testing.assert_allclose(got[0], [1.5, 5.5])
+
+    from language_identification_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode,
+    )
+
+    tiny = np.full((2, 2), 255, dtype=np.uint8)
+    feat = _decode("image", f"P5 2 2 255\n".encode() + tiny.tobytes())
+    np.testing.assert_allclose(feat, np.ones(FEATURE_DIM), atol=1e-6)

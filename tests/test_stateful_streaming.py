@@ -239,3 +239,19 @@ def test_eventtime_stream_late_event_bridges_islands(spark, tmp_path):
         for r in batch_df.orderBy("island_start").collect()
     ]
     assert got == want == [("en", 100, 130)]
+
+
+def test_eventtime_release_is_strictly_below_watermark():
+    # round-4 review: Spark admits rows with ts == watermark in later
+    # batches, so an event AT the watermark must stay buffered.
+    from language_identification_spark.streaming.stateful import (
+        make_merge_islands_eventtime,
+    )
+
+    fn = make_merge_islands_eventtime(max_gap=5)
+    st = _FakeEventState(wm_ms=100_000)
+    assert _run_eventtime(fn, st, [("en", 100, 110, 100)]) == []
+    assert st._v[0] is None and st._v[4] == [100]  # still pending
+    st._wm = 100_001  # one tick past: now released
+    assert _run_eventtime(fn, st, []) == []
+    assert st._v[:3] == ("en", 100, 110)

@@ -29,6 +29,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # data-dependent oracle generators (ivf_topk_trained) derive constants
+    # from the oracle-side tables — point them at the same sf_dir
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = sys.argv[2] if len(sys.argv) > 2 else None
 
     import __spark_entry__ as entrymod
