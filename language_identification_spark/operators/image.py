@@ -61,12 +61,15 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
     return toks, i + 1  # exactly ONE whitespace after maxval, per spec
 
 
-def decode_pnm(payload: bytes) -> np.ndarray:
-    """Binary PGM (P5) / PPM (P6) → float32 luminance (H, W) in [0, 1]."""
-    magic = payload[:2]
+def _decode_pnm_at(payload: bytes, start: int) -> tuple[np.ndarray, int]:
+    """Decode one P5/P6 image at byte offset ``start``; returns
+    ``(luminance, offset_past_this_image)`` — the netpbm spec allows
+    multiple images concatenated in one stream."""
+    magic = payload[start : start + 2]
     if magic not in (b"P5", b"P6"):
         raise ValueError("not a binary PGM/PPM payload")
-    (w, h, maxval), off = _pnm_tokens(payload, 3)
+    (w, h, maxval), rel = _pnm_tokens(payload[start:], 3)
+    off = start + rel
     if w <= 0 or h <= 0 or not 0 < maxval < 65536:
         raise ValueError(f"bad PNM dimensions {w}x{h} maxval={maxval}")
     ch = 3 if magic == b"P6" else 1
@@ -76,9 +79,35 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     if len(raw) < need:
         raise ValueError("truncated PNM pixel data")
     px = np.frombuffer(raw, dtype=dt).astype(np.float32) / float(maxval)
-    if ch == 3:
-        return px.reshape(h, w, 3) @ _REC601
-    return px.reshape(h, w)
+    img = px.reshape(h, w, 3) @ _REC601 if ch == 3 else px.reshape(h, w)
+    return img, off + need
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6) → float32 luminance (H, W) in [0, 1]."""
+    img, _ = _decode_pnm_at(payload, 0)
+    return img
+
+
+def decode_pnm_stream(payload: bytes, max_frames: int = 4096) -> list[np.ndarray]:
+    """Multi-image PNM stream → list of luminance frames.
+
+    The netpbm spec allows any number of images back-to-back in one file
+    (what ``pamsplit`` unpacks) — the uncompressed-video analog this
+    container can decode with zero codec libraries.  Frames may differ in
+    size/depth.  Raises ValueError on a corrupt frame; trailing whitespace
+    is tolerated."""
+    frames: list[np.ndarray] = []
+    off = 0
+    while off < len(payload) and len(frames) < max_frames:
+        if payload[off : off + 1].isspace():
+            off += 1
+            continue
+        img, off = _decode_pnm_at(payload, off)
+        frames.append(img)
+    if not frames:
+        raise ValueError("no PNM frames in payload")
+    return frames
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:

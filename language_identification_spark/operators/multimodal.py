@@ -86,6 +86,25 @@ def _decode(kind: str, payload: bytes) -> np.ndarray:
                 segs = mono[: seg * FEATURE_DIM].reshape(FEATURE_DIM, seg)
                 return np.sqrt((segs * segs).mean(axis=1)).astype(np.float32)
             return np.zeros(FEATURE_DIM, dtype=np.float32)
+    if kind == "video" and payload:
+        from language_identification_spark.operators.image import (
+            _resample_axis,
+            decode_pnm_stream,
+        )
+
+        b = bytes(payload)
+        if b[:2] in (b"P5", b"P6"):  # multi-image PNM stream (netpbm spec)
+            try:
+                frames = decode_pnm_stream(b)
+                # temporal envelope: per-frame mean luminance resampled to
+                # FEATURE_DIM — the video analog of the audio RMS envelope
+                env = np.array([f.mean() for f in frames], dtype=np.float64)
+                return (
+                    _resample_axis(env[None, :], FEATURE_DIM, 1)[0]
+                    .astype(np.float32)
+                )
+            except ValueError:  # corrupt payload: hash-fake fallback
+                pass
     if kind == "image" and payload:
         from language_identification_spark.operators.image import (
             decode_bmp,

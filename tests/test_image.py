@@ -155,3 +155,44 @@ def test_resize_covers_every_cell_when_upscaling():
     tiny = np.full((2, 2), 255, dtype=np.uint8)
     feat = _decode("image", f"P5 2 2 255\n".encode() + tiny.tobytes())
     np.testing.assert_allclose(feat, np.ones(FEATURE_DIM), atol=1e-6)
+
+
+def test_pnm_stream_video_decode():
+    # netpbm multi-image stream = the uncompressed-video analog: 3 frames
+    # (bright, mid, dark), decoded frame-by-frame
+    from language_identification_spark.operators.image import decode_pnm_stream
+
+    frames_in = [
+        np.full((4, 4), v, dtype=np.uint8) for v in (255, 128, 0)
+    ]
+    stream = b"".join(_pgm(f) for f in frames_in)
+    frames = decode_pnm_stream(stream)
+    assert len(frames) == 3
+    np.testing.assert_allclose(
+        [f.mean() for f in frames], [1.0, 128 / 255.0, 0.0], atol=1e-6
+    )
+    # mixed sizes/formats in one stream are legal
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    mixed = _pgm(frames_in[0]) + _ppm(rgb)
+    assert len(decode_pnm_stream(mixed)) == 2
+    with pytest.raises(ValueError):
+        decode_pnm_stream(b"")
+    with pytest.raises(ValueError):
+        decode_pnm_stream(_pgm(frames_in[0])[:-3])  # truncated last frame
+
+
+def test_multimodal_video_temporal_envelope():
+    from language_identification_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode,
+    )
+
+    frames = [np.full((4, 4), v, dtype=np.uint8) for v in (255, 0)]
+    feat = _decode("video", b"".join(_pgm(f) for f in frames))
+    assert feat.shape == (FEATURE_DIM,)
+    # bright first half, dark second half of the temporal envelope
+    assert feat[: FEATURE_DIM // 2].mean() > 0.9
+    assert feat[FEATURE_DIM // 2 :].mean() < 0.1
+    # corrupt stream falls back to the deterministic hash fake
+    fake = _decode("video", b"P5 4 4 255\nxx")
+    assert fake.shape == (FEATURE_DIM,)
