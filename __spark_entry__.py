@@ -250,7 +250,10 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_winnow() -> str:
+def _winnow_fp_cte() -> str:
+    """Shared CTE chain computing each document's winnow fingerprint list
+    (``fp(doc_id, f)``) — used by both the fingerprint oracle and the
+    MOSS-pair oracle."""
     from language_identification_spark.functions.text import (
         WINNOW_B,
         WINNOW_K,
@@ -289,13 +292,59 @@ fp AS (
              ELSE [list_min(hs)] END
          )) AS f
   FROM h
-)
+)"""
+
+
+def _sql_winnow() -> str:
+    from language_identification_spark.functions.text import WINNOW_M as M
+
+    return f"""
+{_winnow_fp_cte()}
 SELECT d.doc_id,
        CAST(coalesce(len(f.f), 0) AS BIGINT) AS n_fp,
        CAST(coalesce(f.f[1], -1) AS BIGINT) AS fp_min,
        CAST(coalesce(f.f[len(f.f)], -1) AS BIGINT) AS fp_max,
        CAST(coalesce(list_sum(f.f), 0) % {M} AS BIGINT) AS fp_sum_mod
 FROM documents d LEFT JOIN fp f USING (doc_id)
+"""
+
+
+_WINNOW_MIN_SHARED = 3
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style source-code near-dup pairs: docs sharing >= min_shared
+    winnowing fingerprints (boilerplate fingerprints capped like LSH
+    buckets).  Pure Catalyst fingerprints + two short-key shuffles."""
+    from language_identification_spark.operators.dedup import winnow_dup_pairs
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir), "text", "doc_id",
+        min_shared=_WINNOW_MIN_SHARED,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("shared_fps").cast("long").alias("shared_fps"),
+    )
+
+
+def _sql_winnow_pairs() -> str:
+    from language_identification_spark.operators.dedup import MAX_BUCKET
+
+    return f"""
+{_winnow_fp_cte()},
+posting AS (
+  SELECT doc_id, unnest(f) AS fpv FROM fp
+),
+capped AS (
+  SELECT doc_id, fpv FROM (
+    SELECT doc_id, fpv, count(*) OVER (PARTITION BY fpv) AS n FROM posting
+  ) WHERE n <= {MAX_BUCKET}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM capped a JOIN capped b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}
 """
 
 
@@ -1744,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
+        "winnow_dup_pairs": _q_winnow_pairs,
         "exact_dedup": _q_exact_dedup,
         "ordered_agg": _q_ordered_agg,
         "broadcast_enrich": _q_broadcast_enrich,
@@ -1777,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": _SQL_TOKEN_STATS,
         "fingerprint": _SQL_FINGERPRINT,
         "winnow_fingerprints": _sql_winnow(),
+        "winnow_dup_pairs": _sql_winnow_pairs(),
         "exact_dedup": _SQL_EXACT_DEDUP,
         "ordered_agg": _SQL_ORDERED_AGG,
         "broadcast_enrich": _SQL_BROADCAST_ENRICH,

@@ -349,6 +349,70 @@ def jaccard_pairs(
     )
 
 
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 2,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """MOSS-style near-dup candidate pairs from shared winnowing
+    fingerprints (Schleimer et al.) — the classic scheme for SOURCE CODE,
+    this engine's domain: two files sharing any sufficiently long substring
+    are guaranteed to share a fingerprint, so copied-then-tweaked code
+    surfaces even when whole-document hashes (minhash over all shingles)
+    dilute the signal.
+
+    Returns ``(id_a, id_b, shared_fps)`` for pairs sharing at least
+    ``min_shared`` fingerprints.  All stages are shuffle-on-short-key:
+    fingerprints come from the pure-Catalyst ``with_winnow_fingerprints``
+    (no UDF), the posting list shuffles on the 64-bit fingerprint, and
+    fingerprints shared by more than ``max_bucket`` documents are dropped
+    before the self-join — the same boilerplate/skew guard as the LSH
+    bucket cap (a license header shared by 100k files would otherwise
+    yield 10^10 pairs).  Content never shuffles.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import with_winnow_fingerprints
+
+    fps = with_winnow_fingerprints(
+        df.select(F.col(id_col), F.col(text_col)), text_col
+    )
+    # cut the lineage BEFORE exploding: the winnowing expression tree is
+    # enormous (per-element rolling-hash folds, deliberately staged as
+    # columns — [[catalyst-lambda-resubexpression]]), and both the explode
+    # generator and a self-join re-inline it through CollapseProject,
+    # pegging the driver in optimization/codegen for minutes (observed:
+    # >400 s vs 4 s for the fingerprint computation itself).
+    # localCheckpoint materializes the tiny (id, fp-array) table once; all
+    # downstream plans are against a leaf scan.
+    fps = fps.localCheckpoint(eager=True)
+    posting = fps.select(F.col(id_col), F.explode("winnow_fp").alias("fp"))
+    bucket = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+    posting = (
+        posting.withColumn("_n", bucket)
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a, b = posting.alias("a"), posting.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        # fingerprint lists are distinct per doc, so (pair, fp) rows are
+        # unique and a plain count IS the shared-fingerprint count
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def char_ngram_set_expr(text_col: F.Column, n: int = 3) -> F.Column:
     """Distinct char n-grams of lowercased text as a pure Catalyst expression
     (array<string>) — whole-stage codegen, no UDF, no hashing.

@@ -231,3 +231,37 @@ def test_exact_dup_cluster_beyond_cap_is_exact_dedups_job(spark):
         for r in exact_dedup(df, "text", "doc_id").collect()
     }
     assert groups[0] == n
+
+def test_winnow_dup_pairs_shared_substring(spark):
+    # the winnowing guarantee: two files sharing a sufficiently long
+    # substring share a fingerprint — copied-then-tweaked code pairs up,
+    # unrelated code does not
+    from language_identification_spark.operators.dedup import winnow_dup_pairs
+
+    shared = "def retry_with_backoff(attempts, base_delay, jitter_frac):"
+    rows = [
+        (0, shared + " pass  # original implementation with comments"),
+        (1, "import os\n" + shared + " return None  # copied helper"),
+        (2, "completely unrelated parser for configuration entries"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_dup_pairs(df, "text", "doc_id", min_shared=2).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_dup_pairs_boilerplate_cap(spark):
+    # a fingerprint shared by more docs than max_bucket (license-header
+    # boilerplate) must not explode into pairs
+    from language_identification_spark.operators.dedup import winnow_dup_pairs
+
+    header = "licensed under the apache license version two point zero "
+    rows = [(i, header + f"unique tail number {i} with its own words") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = winnow_dup_pairs(df, "text", "doc_id", min_shared=1, max_bucket=1000).count()
+    capped = winnow_dup_pairs(df, "text", "doc_id", min_shared=1, max_bucket=4).count()
+    assert uncapped == 28  # all 8 docs pair through the shared header
+    assert capped < uncapped  # header fingerprints above the cap dropped
