@@ -196,3 +196,46 @@ def test_multimodal_video_temporal_envelope():
     # corrupt stream falls back to the deterministic hash fake
     fake = _decode("video", b"P5 4 4 255\nxx")
     assert fake.shape == (FEATURE_DIM,)
+
+
+# --- property tests (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    maxval=st.sampled_from([255, 65535]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_pgm_roundtrip_property(h, w, maxval, seed):
+    rng = np.random.default_rng(seed)
+    dt = np.uint16 if maxval > 255 else np.uint8
+    gray = rng.integers(0, maxval + 1, size=(h, w)).astype(dt)
+    got = decode_pnm(_pgm(gray, maxval=maxval))
+    assert got.shape == (h, w)
+    np.testing.assert_allclose(got, gray / maxval, atol=1e-7)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    oh=st.integers(1, 16),
+    ow=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_resize_properties(h, w, oh, ow, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.random((h, w)).astype(np.float32)
+    out = resize_block_mean(img, oh, ow)
+    assert out.shape == (oh, ow)
+    # every output cell is a mean of source pixels: bounded by input range
+    assert out.min() >= img.min() - 1e-6
+    assert out.max() <= img.max() + 1e-6
+    # constant image -> constant output regardless of direction
+    const = resize_block_mean(np.full((h, w), 0.25, dtype=np.float32), oh, ow)
+    np.testing.assert_allclose(const, 0.25, atol=1e-6)
