@@ -103,7 +103,11 @@ def _source_fingerprint(src: DataFrame) -> str:
 
 
 def stage_source(
-    spark: SparkSession, src: DataFrame, staging_dir: str, n_buckets: int
+    spark: SparkSession,
+    src: DataFrame,
+    staging_dir: str,
+    n_buckets: int,
+    has_committed_work: bool = False,
 ) -> DataFrame:
     """ONE pass over the source writing a bucket-partitioned staging table.
 
@@ -113,6 +117,14 @@ def stage_source(
     fingerprint; resuming with a different bucket count (which would
     silently drop every row staged into partitions >= n_buckets) or a
     different source raises instead of corrupting the run (ADVICE r02).
+
+    ``has_committed_work``: the caller already holds committed per-bucket
+    results derived from this staging dir.  When the existing table is
+    UNVERIFIABLE (no ``_staging_meta.json``, or an older fingerprint
+    scheme), re-staging is only safe if nothing was committed yet — if the
+    source actually changed, a resume would silently mix buckets committed
+    from the old staging with buckets computed from the new one (round-4
+    advice).  With committed work present this raises instead.
     """
     meta_path = os.path.join(staging_dir, "_staging_meta.json")
     # "v" is the fingerprint-scheme version: bump it whenever
@@ -129,9 +141,21 @@ def stage_source(
                 prev = json.load(f)
         if prev is None or prev.get("v") != meta["v"]:
             # pre-metadata table, interrupted stage, or an older
-            # fingerprint scheme: provenance can't be verified, so re-stage
-            # (overwrite is idempotent) instead of failing the resume or
-            # trusting possibly-mismatched data (ADVICE r03)
+            # fingerprint scheme: provenance can't be verified.  With no
+            # committed downstream work, re-stage (overwrite is idempotent)
+            # instead of failing the resume or trusting possibly-mismatched
+            # data (ADVICE r03).  With committed buckets present, a silent
+            # re-stage could mix results from two different sources, so
+            # refuse (ADVICE r04).
+            if has_committed_work:
+                raise ValueError(
+                    f"staging table at {staging_dir} has no comparable "
+                    "_staging_meta.json (missing, interrupted, or older "
+                    "fingerprint scheme) but committed bucket results "
+                    "already exist; re-staging could mix results from two "
+                    "different sources. Delete the whole output root to "
+                    "restart, or restore the original staging metadata."
+                )
             log.warning(
                 "staging table at %s has no comparable _staging_meta.json "
                 "(missing, interrupted, or fingerprint scheme v%s != v%s); "
@@ -205,7 +229,10 @@ def run_checkpointed(
     if orphans:
         results.prune(lambda s: s["meta"].get("bucket") in done)
 
-    staged = stage_source(spark, src, f"{out_root}/staging", n_buckets)
+    staged = stage_source(
+        spark, src, f"{out_root}/staging", n_buckets,
+        has_committed_work=bool(done),
+    )
     processed = 0
     for b in range(n_buckets):
         if b in done:

@@ -58,7 +58,16 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
                 raise ValueError(f"bad PNM header token {tok!r}")
             toks.append(int(tok))
             i = j
-    return toks, i + 1  # exactly ONE whitespace after maxval, per spec
+    # The spec says exactly ONE whitespace byte follows maxval, but
+    # CRLF-written files (Windows text-mode tooling) emit two; treating
+    # '\r\n' as one delimiter keeps pixel data aligned instead of silently
+    # shifting it by a byte (round-4 advice).  Anything non-whitespace here
+    # is a malformed header.
+    if buf[i : i + 2] == b"\r\n":
+        return toks, i + 2
+    if not buf[i : i + 1].isspace():
+        raise ValueError("missing whitespace after PNM maxval")
+    return toks, i + 1
 
 
 def _decode_pnm_at(payload: bytes, start: int) -> tuple[np.ndarray, int]:
@@ -137,9 +146,23 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     if bpp == 8:
-        # 8-bit is palette-indexed; treat the index as gray (identity
-        # palettes are the overwhelmingly common grayscale case)
-        img = rows[:, :w].astype(np.float32) / 255.0
+        # 8-bit is palette-indexed: the BGRA color table sits between the
+        # info header and the pixel offset.  Map indices through it; fall
+        # back to identity (index-as-gray) only when no table is present.
+        clr_used = int.from_bytes(payload[46:50], "little") if hdr_size >= 36 else 0
+        tbl_off = 14 + hdr_size
+        n_colors = clr_used or min((pix_off - tbl_off) // 4, 256)
+        if n_colors > 0 and tbl_off + 4 * n_colors <= pix_off:
+            tbl = np.frombuffer(
+                payload[tbl_off : tbl_off + 4 * n_colors], dtype=np.uint8
+            ).reshape(n_colors, 4)
+            lum = (tbl[:, 2::-1].astype(np.float32) / 255.0) @ _REC601  # B,G,R,A
+            idx = rows[:, :w]
+            if int(idx.max()) >= n_colors:
+                raise ValueError("BMP palette index out of range")
+            img = lum[idx]
+        else:
+            img = rows[:, :w].astype(np.float32) / 255.0
     else:
         nb = bpp // 8
         px = rows[:, : w * nb].reshape(h, w, nb).astype(np.float32) / 255.0

@@ -147,7 +147,10 @@ EVENTTIME_STATE_SCHEMA = StructType(
 )
 
 
-def make_merge_islands_eventtime(max_gap: int | float = float("inf")):
+def make_merge_islands_eventtime(
+    max_gap: int | float = float("inf"),
+    ts_of=lambda v: int(v) * 1000,
+):
     """Out-of-order-safe island merge over ``applyInPandasWithState`` with
     event-time timeout.
 
@@ -156,17 +159,27 @@ def make_merge_islands_eventtime(max_gap: int | float = float("inf")):
     ``timestamp_seconds(start)``) and has ``withWatermark`` applied — so
     watermark order coincides with the machine's ``start`` order, which is
     what makes "released by the watermark" imply "no earlier-starting event
-    can still arrive".  Per key the state holds the open island plus a small
-    pending buffer of not-yet-released events (bounded by arrival rate ×
-    watermark delay, the same bound ``dropDuplicatesWithinWatermark`` gives
-    the streaming exact dedup).  Per invocation: append the batch's events,
-    release the ``ts <= watermark`` prefix in ``(start, end)`` order through
-    the same open/extend/switch/gap-split machine as the in-order twin, and
-    re-arm an event-time timeout just past the newest buffered event so the
-    final open island and stragglers flush once the watermark passes
-    everything (the reference finalizes its open segment at shutdown,
-    ``disconnected_language_detector.py:1174-1193``; here "shutdown" is the
-    watermark overtaking the key).
+    can still arrive".  ``ts_of`` maps a machine-time value (``start``/``end``
+    units) to the same epoch-ms scale as ``ts`` and must match that
+    derivation (default: ``timestamp_seconds`` → value × 1000).  Per key the
+    state holds the open island plus a small pending buffer of
+    not-yet-released events (bounded by arrival rate × watermark delay, the
+    same bound ``dropDuplicatesWithinWatermark`` gives the streaming exact
+    dedup).  Per invocation: append the batch's events, release the
+    ``ts < watermark`` prefix in ``(start, end)`` order through the same
+    open/extend/switch/gap-split machine as the in-order twin.
+
+    Island finalization (round-4 advice): for FINITE ``max_gap`` the open
+    island closes exactly when the watermark passes
+    ``ts_of(island_end + max_gap)`` — the first moment Spark's late-row
+    filter guarantees no arriving event can still extend it — so a key that
+    goes quiet and later resumes within ``max_gap`` yields ONE island, same
+    as the batch operator.  For ``max_gap=inf`` no event-time bound can ever
+    close an island; there the timeout firing with an empty pending buffer is
+    treated as the reference's shutdown finalization
+    (``disconnected_language_detector.py:1174-1193``) — a DOCUMENTED
+    divergence from the batch twin: a key quiet past the watermark flushes
+    its open island, and a later same-label event starts a new one.
 
     Usage:
         (events.withColumn("ts", F.timestamp_seconds(F.col("start")))
@@ -187,6 +200,8 @@ def make_merge_islands_eventtime(max_gap: int | float = float("inf")):
         closed.append((k, cur_label, cur_start, cur_end))
         return (label, start, end)
 
+    finite = max_gap != float("inf")
+
     def merge_fn(
         key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -200,36 +215,41 @@ def make_merge_islands_eventtime(max_gap: int | float = float("inf")):
             pend = []
         cur = (ol, os_, oe)
 
-        if state.hasTimedOut:
-            # the watermark passed everything buffered (the timeout is armed
-            # past the newest pending ts): drain in order and finalize
-            for label, start, end, _t in sorted(pend, key=lambda r: (r[1], r[2])):
-                cur = _step(cur, str(label), int(start), int(end), closed, k)
-            if cur[0] is not None:
-                closed.append((k, *cur))
-            state.remove()
-            yield pd.DataFrame(
-                closed, columns=["key", "label", "island_start", "island_end"]
-            )
-            return
-
-        for pdf in pdf_iter:
-            ts_ms = pdf["ts"].astype("int64") // 1_000_000
-            for label, start, end, t in zip(
-                pdf["label"], pdf["start"], pdf["end"], ts_ms
-            ):
-                pend.append((str(label), int(start), int(end), int(t)))
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                ts_ms = pdf["ts"].astype("int64") // 1_000_000
+                for label, start, end, t in zip(
+                    pdf["label"], pdf["start"], pdf["end"], ts_ms
+                ):
+                    pend.append((str(label), int(start), int(end), int(t)))
 
         wm = state.getCurrentWatermarkMs()
         pend.sort(key=lambda r: (r[1], r[2]))
         # STRICTLY below the watermark: Spark's late-row filter drops only
         # rows with ts strictly below it, so an equal-ts sibling can still
         # arrive in a later batch — releasing at equality would process it
-        # out of sorted order (round-4 review)
+        # out of sorted order (round-4 review).  The same rule applies on a
+        # timeout: the timeout may have been armed at the island's gap
+        # boundary, BELOW some still-pending event, so a timeout never
+        # implies the whole buffer is ripe.
         ripe = [r for r in pend if r[3] < wm]
         pend = [r for r in pend if r[3] >= wm]
         for label, start, end, _t in ripe:
             cur = _step(cur, label, start, end, closed, k)
+
+        # Finalize the open island only when it provably cannot grow:
+        # finite max_gap → the watermark passed the gap-split boundary (any
+        # extender would now be dropped as late), matching the batch
+        # operator's split point exactly (round-4 advice).  max_gap=inf →
+        # only the timeout-with-empty-buffer shutdown analog (documented
+        # divergence, see docstring).
+        if cur[0] is not None:
+            if finite and wm > ts_of(cur[2] + max_gap):
+                closed.append((k, *cur))
+                cur = (None, None, None)
+            elif not finite and state.hasTimedOut and not pend:
+                closed.append((k, *cur))
+                cur = (None, None, None)
 
         if cur[0] is not None or pend:
             state.update(
@@ -243,8 +263,16 @@ def make_merge_islands_eventtime(max_gap: int | float = float("inf")):
                     [r[3] for r in pend],
                 )
             )
-            max_ts = max((r[3] for r in pend), default=wm)
-            state.setTimeoutTimestamp(max(max_ts + 1, wm + 1))
+            # wake at the EARLIEST moment new action is possible: the oldest
+            # pending event becoming releasable, or (finite gap) the open
+            # island's boundary passing; an inf-gap island with nothing
+            # pending waits for the next watermark advance (shutdown analog)
+            cands = []
+            if pend:
+                cands.append(max(r[3] for r in pend) + 1)
+            if cur[0] is not None and finite:
+                cands.append(ts_of(cur[2] + max_gap) + 1)
+            state.setTimeoutTimestamp(max(min(cands, default=wm + 1), wm + 1))
         elif state.exists:
             state.remove()
         yield pd.DataFrame(

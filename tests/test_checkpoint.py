@@ -189,6 +189,50 @@ def test_stage_source_restages_when_meta_missing(spark, src, tmp_path):
     assert os.path.exists(os.path.join(root, "_staging_meta.json"))
 
 
+def test_stage_source_refuses_unverifiable_restage_with_committed_work(
+    spark, src, tmp_path
+):
+    # ADVICE r04: if buckets were already committed from this staging dir
+    # and its provenance becomes unverifiable (meta lost / older scheme),
+    # re-staging could mix results from two different sources — the resume
+    # must raise, not warn.  Without committed work the warn+re-stage path
+    # above still applies.
+    import os
+
+    import pytest as _pytest
+
+    from language_identification_spark.checkpoint import stage_source
+
+    root = str(tmp_path / "committed")
+    stage_source(spark, src, root, N_BUCKETS)
+    os.remove(os.path.join(root, "_staging_meta.json"))
+    with _pytest.raises(ValueError, match="committed bucket results"):
+        stage_source(spark, src, root, N_BUCKETS, has_committed_work=True)
+
+
+def test_resume_after_meta_loss_with_committed_buckets_raises(spark, src, tmp_path):
+    # end-to-end: run_checkpointed with an injected crash leaves committed
+    # buckets; losing the staging meta then makes the resume refuse instead
+    # of silently mixing old- and new-staging buckets (ADVICE r04)
+    import os
+
+    import pytest as _pytest
+
+    from language_identification_spark.checkpoint import run_checkpointed
+
+    out_root = str(tmp_path / "run")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, src, out_root, lambda df: df,
+            n_buckets=N_BUCKETS, fail_after=2,
+        )
+    os.remove(os.path.join(out_root, "staging", "_staging_meta.json"))
+    with _pytest.raises(ValueError, match="committed bucket results"):
+        run_checkpointed(
+            spark, src, out_root, lambda df: df, n_buckets=N_BUCKETS
+        )
+
+
 def test_stage_source_detects_regenerated_source_files(spark, tmp_path):
     # ADVICE r03: a source parquet dir regenerated under the SAME path has
     # the same schema + plan text; the fingerprint must still change (file

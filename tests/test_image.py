@@ -57,6 +57,78 @@ def _bmp24(rgb: np.ndarray, top_down: bool = False) -> bytes:
     return header + pix
 
 
+def _bmp8(idx: np.ndarray, palette: np.ndarray | None, clr_used: int = 0) -> bytes:
+    """8-bit palette BMP (bottom-up).  ``palette`` is (n, 3) RGB rows stored
+    as BGRA; None omits the color table entirely (pix_off == 54)."""
+    h, w = idx.shape
+    stride = (w + 3) & ~3
+    pix = b"".join(
+        idx[r].astype("u1").tobytes() + b"\x00" * (stride - w)
+        for r in range(h - 1, -1, -1)
+    )
+    tbl = b""
+    if palette is not None:
+        bgra = np.zeros((len(palette), 4), dtype=np.uint8)
+        bgra[:, :3] = palette[:, ::-1]  # stored B,G,R,A
+        tbl = bgra.tobytes()
+    pix_off = 54 + len(tbl)
+    header = (
+        b"BM"
+        + (pix_off + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + pix_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 12
+        + clr_used.to_bytes(4, "little")  # biClrUsed
+        + b"\x00" * 4
+    )
+    return header + tbl + pix
+
+
+def test_bmp8_palette_mapped_and_identity_fallback():
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    # inverted grayscale palette: index i -> gray level 255-i; the decode
+    # must match the PGM twin of the INVERTED image, not of the raw indices
+    inv = np.stack([255 - np.arange(256, dtype=np.uint8)] * 3, axis=-1)
+    got = decode_bmp(_bmp8(gray, inv))
+    np.testing.assert_allclose(got, decode_pnm(_pgm(255 - gray)), atol=1e-6)
+    # identity palette agrees with the PGM twin of the raw indices
+    ident = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=-1)
+    np.testing.assert_allclose(
+        decode_bmp(_bmp8(gray, ident)), decode_pnm(_pgm(gray)), atol=1e-6
+    )
+    # no color table at all -> identity fallback (index treated as gray)
+    np.testing.assert_allclose(
+        decode_bmp(_bmp8(gray, None)), decode_pnm(_pgm(gray)), atol=1e-6
+    )
+    # truncated palette (biClrUsed honored): 4-color image, 4-entry table
+    small = (gray % 4).astype(np.uint8)
+    got4 = decode_bmp(_bmp8(small, inv[:4], clr_used=4))
+    np.testing.assert_allclose(got4, decode_pnm(_pgm(255 - small)), atol=1e-6)
+    # index beyond the declared table raises instead of reading garbage
+    with pytest.raises(ValueError):
+        decode_bmp(_bmp8(gray, inv[:4], clr_used=4))
+
+
+def test_pnm_crlf_header_delimiter():
+    # Windows text-mode writers end the maxval line with \r\n; both bytes
+    # are ONE delimiter — pixel data must not shift (round-4 advice)
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    crlf = b"P5\r\n4 3\r\n255\r\n" + gray.tobytes()
+    np.testing.assert_allclose(decode_pnm(crlf), gray / 255.0, atol=1e-6)
+    # a bare \r delimiter (old-Mac style) still decodes: \r is whitespace
+    cr = b"P5\r4 3\r255\r" + gray.tobytes()
+    np.testing.assert_allclose(decode_pnm(cr), gray / 255.0, atol=1e-6)
+    # non-whitespace after maxval is a malformed header, not a shifted decode
+    with pytest.raises(ValueError):
+        decode_pnm(b"P5 4 3 255x" + gray.tobytes())
+
+
 def test_pgm_roundtrip_8_and_16_bit():
     gray = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
     got = decode_pnm(_pgm(gray))

@@ -158,13 +158,55 @@ def test_eventtime_buffers_above_watermark_and_releases_below():
     assert _run_eventtime(fn, st, [("en", 112, 118, 112)]) == []
     assert st._v[:3] == ("en", 100, 110)
     assert sorted(st._v[4]) == [112, 120]  # still pending
-    # timeout (wm passed everything): drain in sorted order → ONE island
+    # timeout (wm passed everything — real Spark fires only once
+    # wm > the armed timestamp): drain in sorted order → ONE island
     st.hasTimedOut = True
+    st._wm = 140_000
     out = list(fn(("k",), iter([]), st))[0]
     assert [tuple(r[1:]) for r in out.itertuples(index=False)] == [
         ("en", 100, 130)
     ]
     assert st._v is None  # state removed
+
+
+def test_eventtime_quiet_key_resume_within_gap_matches_batch():
+    # round-4 advice: a key quiet past the watermark delay must NOT flush an
+    # island that a later on-time event could still extend.  With finite
+    # max_gap the timeout is armed at the gap-split boundary
+    # ts_of(end + max_gap), so the flush coincides with batch semantics.
+    from language_identification_spark.streaming.stateful import (
+        make_merge_islands_eventtime,
+    )
+
+    fn = make_merge_islands_eventtime(max_gap=20)
+    st = _FakeEventState(wm_ms=0)
+    assert _run_eventtime(fn, st, [("en", 100, 110, 100)]) == []
+    # wm advances well past the event (other keys kept the stream busy) but
+    # NOT past the gap boundary 110+20=130s: island opens, stays open, and
+    # the timeout is armed exactly one tick past the boundary
+    st._wm = 125_000
+    assert _run_eventtime(fn, st, []) == []
+    assert st._v[:3] == ("en", 100, 110)
+    assert st.timeout_ts == 130_001
+    # an on-time extender within max_gap arrives later → still ONE island
+    st._wm = 128_000
+    assert _run_eventtime(fn, st, [("en", 129, 140, 129)]) == []
+    st.hasTimedOut = True
+    st._wm = 200_000
+    out = list(fn(("k",), iter([]), st))[0]
+    assert [tuple(r[1:]) for r in out.itertuples(index=False)] == [
+        ("en", 100, 140)
+    ]
+    assert st._v is None
+    # contrast: beyond the boundary the island closes at the SAME split
+    # point as the batch operator (wm passes end+max_gap), not earlier
+    st2 = _FakeEventState(wm_ms=0)
+    st2.hasTimedOut = False
+    assert _run_eventtime(fn, st2, [("en", 100, 110, 100)]) == []
+    st2._wm = 130_001  # one tick past ts_of(110+20)
+    out = _run_eventtime(fn, st2, [])
+    assert out == [("en", 100, 110)]
+    assert st2._v is None
 
 
 def test_eventtime_stream_late_event_bridges_islands(spark, tmp_path):
