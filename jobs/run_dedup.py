@@ -11,13 +11,18 @@ The cluster defaults differ from the in-session ones on purpose:
   table (~100x smaller than content) is staged to parquet, not persist()ed:
   a staged table survives executor loss without lineage recompute, which is
   the right trade at 100 TB (VERDICT r02 "wrong" #4).
+- ``winnow_dup_pairs`` (``--winnow``) likewise stages its fingerprint table
+  at ``<out>/winnow_fps`` instead of the in-session ``localCheckpoint``
+  default: localCheckpoint blocks are non-replicated executor-local state,
+  so losing one executor mid-join would kill the job (VERDICT r04).
 - transitive grouping uses ``connected_components_star`` (large-star/
   small-star, O(log n) rounds): a web-scale dup graph can contain chain-
   shaped or giant components (boilerplate families) where min-label
   propagation needs O(diameter) rounds.
 
-Outputs: ``<out>/pairs`` (id_a, id_b, jaccard) and ``<out>/groups``
-(node, comp) parquet tables.
+Outputs: ``<out>/pairs`` (id_a, id_b, jaccard), ``<out>/groups``
+(node, comp), and with ``--winnow`` also ``<out>/winnow_pairs``
+(id_a, id_b, shared_fps) parquet tables.
 """
 
 from __future__ import annotations
@@ -41,6 +46,12 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--winnow", action="store_true",
+        help="also mine MOSS-style winnowing fingerprint pairs "
+        "(copied-then-tweaked source code)",
+    )
+    ap.add_argument("--winnow-min-shared", type=int, default=2)
     ap.add_argument("--app-name", default="near-dup")
     args = ap.parse_args()
 
@@ -50,6 +61,7 @@ def main() -> None:
     from language_identification_spark.operators.dedup import (
         connected_components_star,
         jaccard_pairs,
+        winnow_dup_pairs,
     )
 
     src = spark.read.parquet(args.source)
@@ -67,15 +79,26 @@ def main() -> None:
     groups.write.mode("overwrite").parquet(f"{args.out}/groups")
     groups = spark.read.parquet(f"{args.out}/groups")
 
-    print(
-        json.dumps(
-            {
-                "pairs": pairs.count(),
-                "nodes": groups.count(),
-                "components": groups.select("comp").distinct().count(),
-            }
+    stats = {
+        "pairs": pairs.count(),
+        "nodes": groups.count(),
+        "components": groups.select("comp").distinct().count(),
+    }
+
+    if args.winnow:
+        wpairs = winnow_dup_pairs(
+            src,
+            args.text_col,
+            args.id_col,
+            min_shared=args.winnow_min_shared,
+            staging_path=f"{args.out}/winnow_fps",
         )
-    )
+        wpairs.write.mode("overwrite").parquet(f"{args.out}/winnow_pairs")
+        stats["winnow_pairs"] = (
+            spark.read.parquet(f"{args.out}/winnow_pairs").count()
+        )
+
+    print(json.dumps(stats))
     spark.stop()
 
 

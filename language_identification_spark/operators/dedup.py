@@ -355,6 +355,7 @@ def winnow_dup_pairs(
     id_col: str,
     min_shared: int = 2,
     max_bucket: int = MAX_BUCKET,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """MOSS-style near-dup candidate pairs from shared winnowing
     fingerprints (Schleimer et al.) — the classic scheme for SOURCE CODE,
@@ -371,6 +372,14 @@ def winnow_dup_pairs(
     before the self-join — the same boilerplate/skew guard as the LSH
     bucket cap (a license header shared by 100k files would otherwise
     yield 10^10 pairs).  Content never shuffles.
+
+    ``staging_path``: like ``jaccard_pairs``, materialize the small
+    (id, fp-array) feature table to parquet instead of
+    ``localCheckpoint`` — the cluster default (see ``jobs/run_dedup.py``):
+    localCheckpoint blocks are non-replicated executor-local state, so on a
+    real cluster losing one executor mid-join kills the job instead of
+    recomputing (VERDICT r04); a staged parquet table survives executor
+    loss and is ~100x smaller than content.
     """
     from pyspark.sql import Window
 
@@ -385,9 +394,15 @@ def winnow_dup_pairs(
     # generator and a self-join re-inline it through CollapseProject,
     # pegging the driver in optimization/codegen for minutes (observed:
     # >400 s vs 4 s for the fingerprint computation itself).
-    # localCheckpoint materializes the tiny (id, fp-array) table once; all
-    # downstream plans are against a leaf scan.
-    fps = fps.localCheckpoint(eager=True)
+    # The materialization makes the tiny (id, fp-array) table a leaf scan
+    # for all downstream plans: parquet staging when a path is given (the
+    # cluster-safe default in jobs/run_dedup.py), localCheckpoint otherwise
+    # (fine single-node; non-replicated on a cluster).
+    if staging_path is not None:
+        fps.write.mode("overwrite").parquet(staging_path)
+        fps = df.sparkSession.read.parquet(staging_path)
+    else:
+        fps = fps.localCheckpoint(eager=True)
     posting = fps.select(F.col(id_col), F.explode("winnow_fp").alias("fp"))
     bucket = F.count(F.lit(1)).over(Window.partitionBy("fp"))
     posting = (

@@ -265,3 +265,35 @@ def test_winnow_dup_pairs_boilerplate_cap(spark):
     capped = winnow_dup_pairs(df, "text", "doc_id", min_shared=1, max_bucket=4).count()
     assert uncapped == 28  # all 8 docs pair through the shared header
     assert capped < uncapped  # header fingerprints above the cap dropped
+
+
+def test_winnow_dup_pairs_staged_matches_local(spark, tmp_path):
+    # VERDICT r04: the cluster path stages the fingerprint table to parquet
+    # (survives executor loss) instead of localCheckpoint; results must be
+    # identical, and the staging dir must actually be written
+    import os
+
+    from language_identification_spark.operators.dedup import winnow_dup_pairs
+
+    shared = "def retry_with_backoff(attempts, base_delay, jitter_frac):"
+    rows = [
+        (0, shared + " pass  # original implementation with comments"),
+        (1, "import os\n" + shared + " return None  # copied helper"),
+        (2, "completely unrelated parser for configuration entries"),
+        (3, shared + " raise ValueError  # third copy of the helper"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    local = sorted(
+        map(tuple, winnow_dup_pairs(df, "text", "doc_id").collect())
+    )
+    staging = str(tmp_path / "winnow_fps")
+    staged = sorted(
+        map(
+            tuple,
+            winnow_dup_pairs(
+                df, "text", "doc_id", staging_path=staging
+            ).collect(),
+        )
+    )
+    assert staged == local and len(local) >= 1
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
