@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (29/29) — including the model/LSH stages, re-derived in SQL
+EVERY query (30/30) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -153,6 +153,64 @@ SELECT user_id,
        min(ts_us) AS session_start_us,
        max(ts_us) AS session_end_us,
        count(*) AS n_events
+FROM ids GROUP BY user_id, sid
+"""
+
+
+def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-mode sessionization: the SAME events table replayed through
+    the out-of-order event-time island machine
+    (``streaming/stateful.py:make_merge_islands_eventtime``) as a REAL
+    multi-micro-batch Structured Streaming job — batches fed in timestamp
+    order with a deterministic fraction of rows demoted one batch (bounded
+    late arrival), then watermark-drained, the streaming analog of the
+    reference finalizing its open segment at shutdown
+    (disconnected_language_detector.py:1174-1193).  Oracled against the
+    identical gaps-and-islands SQL as ``sessionize_events`` (minus the
+    per-session event count, which the streaming machine does not carry):
+    this proves stream-mode semantics against DuckDB, not merely against
+    the batch twin.
+    """
+    from language_identification_spark.streaming.replay import (
+        replay_island_stream,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            # constant label within key → pure gap sessionization, same as
+            # the batch query's use of user_id as its own label
+            F.lit("s").alias("label"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("start"),
+        )
+        .withColumn("end", F.col("start"))
+    )
+    out = replay_island_stream(spark, ev, max_gap=SESSION_GAP_US)
+    return out.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("island_start").alias("session_start_us"),
+        F.col("island_end").alias("session_end_us"),
+    )
+
+
+_SQL_SESSIONIZE_STREAM = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us > lag(ts_us) OVER w + {SESSION_GAP_US}
+              OR lag(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+), ids AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us
 FROM ids GROUP BY user_id, sid
 """
 
@@ -1789,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
         "sessionize_events": _q_sessionize,
+        "sessionize_events_stream": _q_sessionize_stream,
         "heuristic_flags": _q_heuristic_flags,
         "token_stats": _q_token_stats,
         "fingerprint": _q_fingerprint,
@@ -1823,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "lang_canon": _SQL_LANG_CANON,
         "sessionize_events": _SQL_SESSIONIZE,
+        "sessionize_events_stream": _SQL_SESSIONIZE_STREAM,
         "heuristic_flags": _SQL_HEURISTIC_FLAGS,
         "token_stats": _SQL_TOKEN_STATS,
         "fingerprint": _SQL_FINGERPRINT,

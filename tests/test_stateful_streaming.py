@@ -297,3 +297,37 @@ def test_eventtime_release_is_strictly_below_watermark():
     st._wm = 100_001  # one tick past: now released
     assert _run_eventtime(fn, st, []) == []
     assert st._v[:3] == ("en", 100, 110)
+
+
+def test_replay_harness_matches_batch_islands(spark):
+    # the sessionize_events_stream oracle's harness: a synthetic multi-key
+    # table replayed as a real multi-micro-batch out-of-order stream must
+    # reproduce the batch gaps-and-islands operator exactly (keys, starts,
+    # ends), including islands that only close via the drain sentinels
+    from language_identification_spark.operators.islands import merge_islands
+    from language_identification_spark.streaming.replay import (
+        replay_island_stream,
+    )
+
+    gap = 5_000_000  # 5 s in µs
+    rows = []
+    for k in range(6):
+        t = 1_000_000 * (k + 1)
+        for i in range(40):
+            # per-key rhythm: bursts separated by > gap every 10th event
+            t += 400_000 + (7_000_000 if i % 10 == 9 else 0) + 100_000 * (k % 3)
+            rows.append((f"k{k}", "s", t, t))
+    ev = spark.createDataFrame(
+        rows, "key string, label string, start long, end long"
+    )
+
+    batch = merge_islands(ev, ["key"], "label", "start", "end", max_gap=gap)
+    want = sorted(
+        (r["key"], r["island_start"], r["island_end"])
+        for r in batch.collect()
+    )
+    out = replay_island_stream(spark, ev, max_gap=gap, n_batches=4)
+    got = sorted(
+        (r["key"], r["island_start"], r["island_end"]) for r in out.collect()
+    )
+    assert got == want and len(want) > 6
