@@ -387,7 +387,7 @@ def winnow_dup_pairs(
 
     fps = with_winnow_fingerprints(
         df.select(F.col(id_col), F.col(text_col)), text_col
-    )
+    ).select(F.col(id_col), "winnow_fp")
     # cut the lineage BEFORE exploding: the winnowing expression tree is
     # enormous (per-element rolling-hash folds, deliberately staged as
     # columns — [[catalyst-lambda-resubexpression]]), and both the explode

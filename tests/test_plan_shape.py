@@ -96,3 +96,33 @@ def test_multimodal_feature_stage_single_python_node_no_shuffle(spark):
     )
     assert plan.count("MapInPandas") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+def test_winnow_dup_pairs_plan_shape(spark):
+    # VERDICT r04 #2: the winnowing pair miner's physical plan must be the
+    # 100 TB shape — fingerprints computed pure-Catalyst (zero Python
+    # nodes), every Exchange on a short key (the 64-bit fp or the id pair),
+    # and document content absent from everything past the fingerprint
+    # materialization (content never shuffles)
+    from language_identification_spark.operators.dedup import winnow_dup_pairs
+
+    rows = [
+        (i, f"def handler_{i}(req): return process(req, mode={i % 3})")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _formatted_plan(winnow_dup_pairs(df, "text", "doc_id"))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+
+    assert "EvalPython" not in phys  # no Python in the mining path
+    # exactly 3 shuffles: posting explode side A on fp, side B on fp,
+    # and the (id_a, id_b) pair aggregation
+    exchanges = [
+        l for l in phys.splitlines() if "hashpartitioning" in l
+    ]
+    assert phys.count("Exchange (") == 3, phys
+    for l in exchanges:
+        assert "fp#" in l or "doc_id#" in l, l
+    # content is dropped before the lineage cut: no text column anywhere
+    # in the executed plan (the checkpointed table is (id, fp-array) only)
+    assert "text#" not in phys, phys
