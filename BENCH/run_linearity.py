@@ -54,8 +54,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench")
 
-QF_SIZES = [100_000, 300_000, 500_000]
-JC_SIZES = [5_000, 15_000, 30_000, 60_000]
+# round-5 (VERDICT r04 #7): one more octave per workload — 1M rows for
+# quality_filter, 120k docs for jaccard — same law, same per-row work
+QF_SIZES = [100_000, 300_000, 500_000, 1_000_000]
+JC_SIZES = [5_000, 15_000, 30_000, 60_000, 120_000]
 CORES = int(os.environ.get("LINEARITY_CPUS", "8"))
 PASSES = 3
 

@@ -212,16 +212,22 @@ def main() -> None:
         gated: bool = False,
     ) -> None:
         samples: list[float] = []
-        t_q0 = time.monotonic()
+        # the digging sub-budget meters DIGGING only — gate waits and
+        # extension samples — never the protected base runs: a degraded
+        # first base sample must not eat the budget that exists precisely
+        # to dig past it (observed: a 131.8s first sample left a clean-host
+        # 3.4s min unconfirmed because the extension loop found the
+        # sub-budget already spent)
+        dig_spent = 0.0
 
         def dig_left() -> float:
             """Remaining digging sub-budget for THIS query, also capped by
             the tail reserve on the global budget."""
-            own = dig_budget_s - (time.monotonic() - t_q0)
             glob = (budget_s - tail_reserve_s) - (time.monotonic() - t_meas)
-            return min(own, glob)
+            return min(dig_budget_s - dig_spent, glob)
 
         def gate(why: str) -> None:
+            nonlocal dig_spent
             if not gated:
                 return
             wait = min(midrun_wait, max(dig_left(), 0.0))
@@ -232,7 +238,9 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 return
+            t0 = time.monotonic()
             readings = wait_for_clean_phase(probe_threshold, wait, sleep_s=10.0)
+            dig_spent += time.monotonic() - t0
             probes.extend(readings)
             print(f"[bench] {name} gate ({why}): {readings}", file=sys.stderr)
 
@@ -296,7 +304,9 @@ def main() -> None:
                 # extending only to confirm the min: make sure the host is
                 # in a clean phase first, or the extra sample is wasted
                 gate("min unconfirmed")
+            t_ext = time.monotonic()
             one_run()
+            dig_spent += time.monotonic() - t_ext
         # min = steady-state (environment noise on this host only ever adds
         # time); every sample is reported alongside
         timings[name] = min(samples)
@@ -318,7 +328,7 @@ def main() -> None:
         lambda: _noop(quality_filter(spark.read.parquet(src_path))),
         runs=3,
         protected=True,
-        extra_until_stable=4,
+        extra_until_stable=8,
         gated=True,
     )
     timed(
@@ -326,7 +336,7 @@ def main() -> None:
         lambda: _noop(em._q_minhash_pairs(spark, SF_DIR)),
         runs=3,
         protected=True,
-        extra_until_stable=4,
+        extra_until_stable=8,
         gated=True,
     )
 
