@@ -144,6 +144,7 @@ def measure(name: str, sizes: list[int], make_run, probes: list[float]) -> dict:
 
     rows_per_sec: dict[int, float] = {}
     samples: dict[int, list[float]] = {}
+    degraded_sizes: list[int] = []
     for n in sizes:
         # 0.8s threshold, matching bench.py's round-4 tightening (1.5 let
         # semi-degraded phases through)
@@ -152,11 +153,33 @@ def measure(name: str, sizes: list[int], make_run, probes: list[float]) -> dict:
         print(f"[lin] {name} n={n} probes {readings}", file=sys.stderr)
         run = make_run(n)
         run()  # warm pass (allocator pools, page-cache, codegen)
-        walls = []
-        for _ in range(PASSES):
-            t0 = time.monotonic()
-            run()
-            walls.append(round(time.monotonic() - t0, 3))
+        # bench.py's round-4 lesson applies here verbatim: a probe at the
+        # START of a size does not certify the samples — the workload itself
+        # can slide this host into its degraded phase mid-ladder (the r5
+        # first attempt read 71-116s at the 120k jaccard point, then a
+        # stage-by-stage decomposition on a clean host measured the same
+        # point at 20.0s — 1.40x the 60k wall for 2x the rows).  A size's
+        # batch only counts if a probe taken right AFTER it reads clean;
+        # a degraded confirm-probe triggers a bounded wait + resample.
+        walls: list[float] = []
+        for attempt in range(3):
+            for _ in range(PASSES):
+                t0 = time.monotonic()
+                run()
+                walls.append(round(time.monotonic() - t0, 3))
+            confirm = host_phase_probe()
+            probes.append(confirm)
+            if confirm <= 0.8:
+                break
+            print(
+                f"[lin] {name} n={n} confirm-probe {confirm}s degraded "
+                f"(attempt {attempt}) — resampling after clean phase",
+                file=sys.stderr,
+            )
+            if attempt < 2:
+                probes.extend(wait_for_clean_phase(0.8, 180.0, sleep_s=20.0))
+        else:
+            degraded_sizes.append(n)
         samples[n] = walls
         rows_per_sec[n] = round(n / min(walls), 1)
         print(f"[lin] {name} n={n}: {walls} -> {rows_per_sec[n]} rows/s",
@@ -184,6 +207,9 @@ def measure(name: str, sizes: list[int], make_run, probes: list[float]) -> dict:
         "superlinear_deviation": round(superlin, 3),
         "throughput_spread": round(max(tps) / min(tps), 3),
         "linear_within_1p3x": superlin <= 1.3,
+        # sizes whose confirm-probe never read clean within 3 attempts: their
+        # min is an upper bound on steady state, not a confirmed reading
+        "degraded_sizes": degraded_sizes,
     }
 
 
