@@ -66,6 +66,34 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Wave-aligned input layout (round 5): the qf pipeline is scan-stage-only
+# (0 Exchange), so at local[8] its wall is `ceil(splits/8) x rows-per-split`
+# — and Spark's openCost file packing gave the 50k-chunk corpora 8 splits at
+# 100k AND 300k rows but 12 at 500k (1.5 waves, second wave half-empty):
+# the 500k wall read ~2x the 300k wall in two independent runs (23.4/23.9 s)
+# purely from scheduling quantization, which a 1000-executor cluster with
+# thousands of tasks never sees.  Holding ROWS PER TASK constant across
+# sizes (one file per split via openCostInBytes, n/ROWS_PER_FILE files)
+# makes every size an integer number of full waves — the per-row work AND
+# the per-task shape are then both constant, which is what a rows-vs-wall
+# law needs at this core count.
+QF_ROWS_PER_FILE = 12_500  # 8 files at 100k ... 80 at 1M: waves 1/3/5/10
+JC_ROWS_PER_FILE = 625     # 8 files at 5k ... 192 at 120k
+
+
+def _wave_aligned(spark, path: str, n: int, rows_per_file: int) -> str:
+    """One-file-per-task rewrite of an existing corpus (content unchanged)."""
+    out = path.replace(".parquet", "_w.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            spark.read.parquet(path)
+            .repartition(max(CORES, n // rows_per_file))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
 def _qf_corpus(spark, n: int) -> str:
     """Bench-distribution source files, built in 50k chunks under distinct
     seeds so every size has the same per-row work profile."""
@@ -226,14 +254,22 @@ def main() -> None:
     from language_identification_spark.session import get_spark
 
     spark = get_spark("linearity", cores=CORES)
+    # one file = one split (see the wave-aligned layout note above): a file
+    # "costs" openCostInBytes when packed, so a 64 MiB cost against a 64 MiB
+    # bin closes every bin after one file, and no corpus file approaches
+    # 64 MiB so none is byte-range split.  Runtime SQL confs — session
+    # defaults elsewhere are untouched.
+    mb64 = str(64 * 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", mb64)
+    spark.conf.set("spark.sql.files.openCostInBytes", mb64)
     probes: list[float] = []
 
     def qf_run(n: int):
-        path = _qf_corpus(spark, n)
+        path = _wave_aligned(spark, _qf_corpus(spark, n), n, QF_ROWS_PER_FILE)
         return lambda: _noop(quality_filter(spark.read.parquet(path)))
 
     def jc_run(n: int):
-        path = _jc_corpus(spark, n)
+        path = _wave_aligned(spark, _jc_corpus(spark, n), n, JC_ROWS_PER_FILE)
         return lambda: _noop(
             jaccard_pairs(spark.read.parquet(path), "text", "doc_id", 0.5)
         )
