@@ -82,9 +82,18 @@ JC_ROWS_PER_FILE = 625     # 8 files at 5k ... 192 at 120k
 
 
 def _wave_aligned(spark, path: str, n: int, rows_per_file: int) -> str:
-    """One-file-per-task rewrite of an existing corpus (content unchanged)."""
-    out = path.replace(".parquet", "_w.parquet")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    """One-file-per-task rewrite of an existing corpus (content unchanged).
+
+    Cache key includes ``rows_per_file`` (retuning waves must not reuse the
+    old layout) and the rewrite is invalidated when the SOURCE corpus is
+    newer than it (a regenerated base corpus must not serve a stale
+    rewrite) — round-5 review."""
+    out = path.replace(".parquet", f"_w{rows_per_file}.parquet")
+    out_s, src_s = os.path.join(out, "_SUCCESS"), os.path.join(path, "_SUCCESS")
+    if not os.path.exists(out_s) or (
+        os.path.exists(src_s)
+        and os.path.getmtime(src_s) > os.path.getmtime(out_s)
+    ):
         (
             spark.read.parquet(path)
             .repartition(max(CORES, n // rows_per_file))

@@ -253,6 +253,13 @@ def main() -> None:
             m = min(samples)
             return sum(1 for s in samples if s <= 1.15 * m) >= 2
 
+        # for GATED queries the 15% rule alone is not a confirmation: two
+        # samples inside one degraded phase satisfy it while both sit far
+        # above steady state (r4-try3 minhash [31.9, 35.4] vs 11 s clean).
+        # A confirmation counts only once a probe taken at a confirmed
+        # moment reads clean (round-5 review).
+        clean_confirmed = False
+
         gate("pre-first-sample")
         for i in range(runs):
             if (
@@ -298,6 +305,7 @@ def main() -> None:
                     f"[bench] {name} confirm-probe: {p}s", file=sys.stderr
                 )
                 if p <= probe_threshold:
+                    clean_confirmed = True
                     break
                 gate("confirm-probe degraded")
             elif not improving:
@@ -311,13 +319,28 @@ def main() -> None:
         # time); every sample is reported alongside
         timings[name] = min(samples)
         all_samples[name] = samples
-        if protected and not is_confirmed():
-            unconfirmed.append(name)
-            print(
-                f"[bench] {name}: min {min(samples)} UNCONFIRMED "
-                "(no second sample within 15%)",
-                file=sys.stderr,
-            )
+        if protected:
+            if is_confirmed() and gated and not clean_confirmed:
+                # dig budget ran out before a probe certified the
+                # confirmation: one last free probe — accept only if the
+                # host is clean NOW and the most recent sample (the one
+                # taken closest to this probe) itself confirms the min
+                p = host_phase_probe()
+                probes.append(p)
+                print(
+                    f"[bench] {name} publish-probe: {p}s", file=sys.stderr
+                )
+                clean_confirmed = (
+                    p <= probe_threshold
+                    and samples[-1] <= 1.15 * min(samples)
+                )
+            if not (is_confirmed() and (not gated or clean_confirmed)):
+                unconfirmed.append(name)
+                print(
+                    f"[bench] {name}: min {min(samples)} UNCONFIRMED "
+                    "(no second sample within 15% at a clean-probed moment)",
+                    file=sys.stderr,
+                )
         print(f"[bench] {name}: {samples}", file=sys.stderr)
 
     # HEADLINES FIRST (protected min-of-3, measured in the cleanest part of

@@ -172,6 +172,20 @@ def stage_source(
             )
         else:
             reuse = True
+    elif has_committed_work:
+        # No complete staging table at all (deleted to reclaim space, or an
+        # interrupted re-stage left no _SUCCESS) yet committed bucket
+        # results exist — those buckets came from SOME earlier staging this
+        # dir no longer evidences, so staging the current source and
+        # computing the remaining buckets from it could mix two different
+        # sources in the final union, the exact hazard the metadata guard
+        # exists for (round-5 review).
+        raise ValueError(
+            f"no complete staging table at {staging_dir} but committed "
+            "bucket results already exist; the committed buckets' source "
+            "can no longer be verified against this run's. Delete the "
+            "whole output root to restart from scratch."
+        )
     if not reuse:
         (
             src.withColumn("_bucket", bucket_col(n_buckets))

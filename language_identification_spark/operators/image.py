@@ -41,6 +41,7 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
     skipping ``#`` comments; returns (tokens, offset_after_last_delimiter)."""
     toks: list[int] = []
     i = 2  # past magic
+    saw_crlf = False  # any '\r\n' between earlier tokens → CRLF-style file
     while len(toks) < n:
         if i >= len(buf):
             raise ValueError("truncated PNM header")
@@ -48,6 +49,8 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
         if c == b"#":
             i = buf.index(b"\n", i) + 1
         elif c.isspace():
+            if c == b"\r" and buf[i + 1 : i + 2] == b"\n":
+                saw_crlf = True
             i += 1
         else:
             j = i
@@ -61,9 +64,13 @@ def _pnm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
     # The spec says exactly ONE whitespace byte follows maxval, but
     # CRLF-written files (Windows text-mode tooling) emit two; treating
     # '\r\n' as one delimiter keeps pixel data aligned instead of silently
-    # shifting it by a byte (round-4 advice).  Anything non-whitespace here
-    # is a malformed header.
-    if buf[i : i + 2] == b"\r\n":
+    # shifting it by a byte (round-4 advice).  '\r'+0x0A is ambiguous —
+    # a CRLF delimiter, OR an old-Mac bare-'\r' delimiter whose first
+    # pixel happens to be 10 — so consume two bytes only when the header's
+    # OWN earlier delimiters were CRLF (text-mode tooling converts every
+    # newline, not just the last one); a bare-'\r' header keeps its pixel
+    # (round-5 review).  Anything non-whitespace here is malformed.
+    if saw_crlf and buf[i : i + 2] == b"\r\n":
         return toks, i + 2
     if not buf[i : i + 1].isspace():
         raise ValueError("missing whitespace after PNM maxval")

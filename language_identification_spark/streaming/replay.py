@@ -54,8 +54,9 @@ def replay_island_stream(
     event time is ``start`` and ``ts_of`` maps machine-time µs → epoch ms.
     Every ``demote_every``-th row is moved one micro-batch later than its
     timestamp order, so cross-batch late data is exercised on every run;
-    the watermark delay is sized to two batch spans so demoted rows stay
-    on-time (dropped rows would silently diverge from the batch oracle).
+    the watermark delay is sized to the feed's exact worst-case lateness
+    so demoted rows provably stay on-time on ANY timestamp distribution
+    (dropped rows would silently diverge from the batch oracle).
     """
     pdf = events.select("key", "label", "start", "end").toPandas()
     pdf = pdf.sort_values(["start", "end", "key"], kind="mergesort").reset_index(
@@ -73,9 +74,18 @@ def replay_island_stream(
     )
 
     lo, hi = int(pdf["start"].min()), int(pdf["start"].max())
-    span_us = max(hi - lo, 1)
-    # lateness of a demoted row < span of two adjacent batches; pad with 1 s
-    delay_us = 2 * (span_us // n_batches) + 2_000_000
+    # Size the watermark delay from the feed's ACTUAL worst-case lateness,
+    # not a uniform-span estimate: batches are split by row index, so on a
+    # skewed timestamp distribution one batch can span most of the event
+    # time and a demoted row from it would exceed any span/n_batches bound
+    # and be silently dropped (round-5 review).  When batch b processes,
+    # the watermark is max(ts over batches < b) - delay; a row survives iff
+    # delay > that max minus its own ts — compute the max gap exactly.
+    starts = pdf["start"].astype("int64")
+    batch_max = starts.groupby(batch).max().sort_index()
+    prev_max = batch_max.cummax().shift(1, fill_value=lo)
+    worst_late = int((prev_max.reindex(batch).to_numpy() - starts.to_numpy()).max())
+    delay_us = max(worst_late, 0) + 1_000_000  # +1 s: strict-inequality pad
     drain_a = hi + max_gap + delay_us + 10_000_000
     drain_b = drain_a + 1_000_000
 
@@ -121,5 +131,12 @@ def replay_island_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        # a partially-drained memory sink would read as a bogus engine
+        # divergence (and the query would keep mutating the table); fail
+        # loudly instead (round-5 review)
+        q.stop()
+        raise RuntimeError(
+            f"island replay stream did not finish within {timeout_sec}s"
+        )
     return spark.table(name).filter(F.col("key") != _SENTINEL_KEY)

@@ -233,6 +233,32 @@ def test_resume_after_meta_loss_with_committed_buckets_raises(spark, src, tmp_pa
         )
 
 
+def test_resume_after_staging_loss_with_committed_buckets_raises(
+    spark, src, tmp_path
+):
+    # round-5 review: the unverifiable-restage guard must also fire when
+    # the staging TABLE itself is gone (deleted to reclaim space), not only
+    # when the meta file is — otherwise the exact silent-mix hazard it
+    # targets survives on that path.
+    import shutil
+
+    import pytest as _pytest
+
+    from language_identification_spark.checkpoint import run_checkpointed
+
+    out_root = str(tmp_path / "run_noslot")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(
+            spark, src, out_root, lambda df: df,
+            n_buckets=N_BUCKETS, fail_after=2,
+        )
+    shutil.rmtree(f"{out_root}/staging")
+    with _pytest.raises(ValueError, match="no complete staging table"):
+        run_checkpointed(
+            spark, src, out_root, lambda df: df, n_buckets=N_BUCKETS
+        )
+
+
 def test_stage_source_detects_regenerated_source_files(spark, tmp_path):
     # ADVICE r03: a source parquet dir regenerated under the SAME path has
     # the same schema + plan text; the fingerprint must still change (file

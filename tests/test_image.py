@@ -127,6 +127,13 @@ def test_pnm_crlf_header_delimiter():
     # non-whitespace after maxval is a malformed header, not a shifted decode
     with pytest.raises(ValueError):
         decode_pnm(b"P5 4 3 255x" + gray.tobytes())
+    # bare-\r header whose FIRST PIXEL is 0x0A: '\r'+0x0A must parse as
+    # delimiter+pixel, not be swallowed as a CRLF pair — the header's own
+    # earlier delimiters (\r, never \r\n) disambiguate (round-5 review)
+    amb = gray.copy()
+    amb[0, 0] = 0x0A
+    cr_amb = b"P5\r4 3\r255\r" + amb.tobytes()
+    np.testing.assert_allclose(decode_pnm(cr_amb), amb / 255.0, atol=1e-6)
 
 
 def test_pgm_roundtrip_8_and_16_bit():

@@ -331,3 +331,42 @@ def test_replay_harness_matches_batch_islands(spark):
         (r["key"], r["island_start"], r["island_end"]) for r in out.collect()
     )
     assert got == want and len(want) > 6
+
+
+def test_replay_harness_skewed_timestamps_drop_nothing(spark):
+    # round-5 review: batches are split by ROW INDEX, so on a skewed
+    # distribution (90% of events in the first hour, stragglers spread over
+    # a day) one batch spans most of the event time.  The watermark delay
+    # must be sized from the feed's actual worst-case lateness — a
+    # span/n_batches estimate under-sizes it and Spark silently DROPS
+    # demoted rows, shrinking the output.  Parity with batch proves no row
+    # was lost.
+    from language_identification_spark.operators.islands import merge_islands
+    from language_identification_spark.streaming.replay import (
+        replay_island_stream,
+    )
+
+    hour, day = 3_600_000_000, 86_400_000_000
+    gap = 600_000_000  # 10 min in µs
+    rows = []
+    for k in range(3):
+        t = 1_000_000 * (k + 1)
+        for i in range(90):  # dense first hour
+            t += hour // 120
+            rows.append((f"k{k}", "s", t, t))
+        for i in range(10):  # stragglers across the rest of the day
+            t += (day - hour) // 10
+            rows.append((f"k{k}", "s", t, t))
+    ev = spark.createDataFrame(
+        rows, "key string, label string, start long, end long"
+    )
+    batch = merge_islands(ev, ["key"], "label", "start", "end", max_gap=gap)
+    want = sorted(
+        (r["key"], r["island_start"], r["island_end"])
+        for r in batch.collect()
+    )
+    out = replay_island_stream(spark, ev, max_gap=gap, n_batches=5)
+    got = sorted(
+        (r["key"], r["island_start"], r["island_end"]) for r in out.collect()
+    )
+    assert got == want and len(want) > 3
