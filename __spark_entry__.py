@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (30/30) — including the model/LSH stages, re-derived in SQL
+EVERY query (32/32) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1843,6 +1843,74 @@ def _q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing: down-sample the head
+    language, keep the tails — pure filter, zero shuffle, membership
+    reproducible bit-for-bit by any engine with sha256 (the oracle
+    recomputes the bucket hash in DuckDB)."""
+    from language_identification_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    rates = {"en": 0.35, "de": 1.0, "es": 0.6, "fr": 0.8}
+    return stratified_sample(
+        docs, "lang", "doc_id", rates, default_rate=0.1, salt="r5"
+    ).select("doc_id", "lang")
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(('0x' || substr(sha256('r5|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 10000
+  < CASE lang WHEN 'en' THEN 3500 WHEN 'de' THEN 10000
+              WHEN 'es' THEN 6000 WHEN 'fr' THEN 8000 ELSE 1000 END
+"""
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 3-gram
+    with the held-out slice (doc_id % 101 == 7), boilerplate grams capped
+    at df<=4.  n=3 (not the production 13) because the synthetic docs are
+    ~50 words; the operator's default is 13."""
+    from language_identification_spark.operators.decontaminate import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 101 == 7)
+    train = docs.filter(F.col("doc_id") % 101 != 7)
+    return decontaminate(train, bench, n=3, max_df=4)
+
+
+# mirrors operators/decontaminate.py on gram STRINGS where Spark joins on
+# xxhash64(gram) — identical output unless a 64-bit hash collision occurs
+# (odds ~1e-12 at this corpus size; see the module docstring)
+_SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(coalesce(text, '')),
+                                          '[^\\p{L}\\p{N}]+', ' ', 'g')),
+                      ' ') AS words
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(words[i:i+2], ' ')
+                 for i in range(1, greatest(len(words) - 2, 0) + 1)]) AS gram
+  FROM w WHERE words <> ['']
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 7),
+hits AS (
+  SELECT t.doc_id, t.gram FROM g t JOIN bench b USING (gram)
+  WHERE t.doc_id % 101 <> 7
+),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM hits
+  ) WHERE df <= 4
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM capped GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -1875,6 +1943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": _q_simhash,
         "quality_filter_full": _q_quality_filter,
         "langid_line_spans": _q_line_spans,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1910,6 +1980,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_pairs": _sql_minhash_pairs(),
         "dedup_components": _sql_dedup_components(),
         "dedup_representatives": _sql_dedup_representatives(),
+        "stratified_sample": _SQL_STRATIFIED_SAMPLE,
+        "decontaminate": _SQL_DECONTAMINATE,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -1,0 +1,97 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.sampling import (
+    N_BUCKETS,
+    sample_bucket_col,
+    stratified_sample,
+)
+
+
+def _py_bucket(salt: str, key, n_buckets: int = N_BUCKETS) -> int:
+    """Independent reimplementation of the bucket hash (stdlib only)."""
+    h = hashlib.sha256(f"{salt}|{key}".encode()).hexdigest()
+    return int(h[:8], 16) % n_buckets
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, ["en", "de", "es"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string").cache()
+
+
+def test_bucket_matches_independent_sha256(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    got = {
+        r["k"]: r["b"]
+        for r in df.select(
+            "k", sample_bucket_col(F.col("k"), "s1").alias("b")
+        ).collect()
+    }
+    assert got == {k: _py_bucket("s1", k) for k in range(200)}
+
+
+def test_rates_zero_and_one_are_exact(corpus):
+    out = stratified_sample(
+        corpus, "lang", "doc_id", {"en": 1.0, "de": 0.0}, default_rate=0.0
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert out.count() == 1000  # every en row, no de/es row
+
+
+def test_rate_accuracy_and_determinism(corpus):
+    out = stratified_sample(corpus, "lang", "doc_id", {"en": 0.3}, default_rate=0.5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 1000 per stratum; sha256 buckets are uniform → binomial ±5σ bounds
+    assert 230 <= counts["en"] <= 370
+    assert 420 <= counts["de"] <= 580 and 420 <= counts["es"] <= 580
+    again = stratified_sample(corpus, "lang", "doc_id", {"en": 0.3}, default_rate=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_salt_redraws_membership(corpus):
+    a = {
+        r["doc_id"]
+        for r in stratified_sample(
+            corpus, "lang", "doc_id", {}, default_rate=0.5, salt="a"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            corpus, "lang", "doc_id", {}, default_rate=0.5, salt="b"
+        ).collect()
+    }
+    # independent draws: overlap ≈ 25% of corpus, definitely not nested
+    assert a != b and 0.15 < len(a & b) / 3000 < 0.35
+
+
+def test_null_stratum_uses_default_rate(spark):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(100)], "doc_id long, lang string"
+    )
+    assert stratified_sample(df, "lang", "doc_id", {"en": 1.0}, default_rate=0.0).count() == 0
+    assert stratified_sample(df, "lang", "doc_id", {"en": 0.0}, default_rate=1.0).count() == 100
+
+
+def test_invalid_rate_raises(corpus):
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, "lang", "doc_id", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(corpus, "lang", "doc_id", {}, default_rate=-0.1)
+
+
+def test_no_shuffle_in_plan(corpus):
+    out = stratified_sample(corpus, "lang", "doc_id", {"en": 0.5}, default_rate=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
