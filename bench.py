@@ -412,6 +412,13 @@ def main() -> None:
     timed("token_stats", lambda: _noop(em._q_token_stats(spark, SF_DIR)))
     timed("quality_scores", lambda: _noop(em._q_quality_scores(spark, SF_DIR)))
     timed("ivf_topk", lambda: _noop(em._q_ivf_topk(spark, SF_DIR)))
+    timed(
+        "stratified_sample",
+        lambda: _noop(em._q_stratified_sample(spark, SF_DIR)),
+    )
+    # gram explode + window decay over the first passes (page-fault
+    # pathology) — min-of-3 like the other mid-tier queries
+    timed("decontaminate", lambda: _noop(em._q_decontaminate(spark, SF_DIR)), runs=3)
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)
