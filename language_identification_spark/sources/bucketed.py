@@ -1,0 +1,127 @@
+"""Bucketed tables — pre-shuffled storage for co-located joins and aggs.
+
+At 100 TB the dominant cost of every equi-join and keyed aggregation is
+the shuffle.  Bucketing moves that shuffle to WRITE time, once: a table
+written with ``bucketBy(N, key)`` is physically hash-partitioned into N
+bucket files per partition, and Catalyst records the layout in the
+catalog.  Every later join between two tables bucketed by the same key
+into the same N (and every groupBy on the bucket key) then runs with
+**zero Exchange** — the scan's output partitioning already satisfies the
+operator's required distribution.  For a lake whose hot tables are
+joined on the same key daily (documents ⋈ scores, events ⋈ sessions),
+this converts an every-query shuffle into a once-per-ingest one.
+
+Mechanics worth knowing before copying this to a real cluster:
+
+* Both sides must agree on the bucket count, or differ by an integer
+  factor with ``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` —
+  otherwise Spark silently falls back to a full shuffle.  The helper
+  raises on a mismatch instead of letting the plan regress quietly.
+* ``sortBy`` within buckets additionally removes the Sort below a
+  SortMergeJoin — but only when each bucket is one file AND
+  ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` (Spark 3.0
+  turned the sorted-scan optimization off by default because its
+  files-per-bucket check was costly; ``write_bucketed`` produces the
+  one-file-per-bucket layout the flag needs).
+* One task per bucket on scan: N must be sized to the CLUSTER (e.g.
+  4× total executor cores), not to the laptop running the tests.
+* Bucketing metadata lives in the catalog (``saveAsTable``), not in the
+  parquet footer — reading the same files with ``spark.read.parquet``
+  gets correct data but no co-location.  These are external tables
+  (explicit ``path``), so dropping the catalog entry never deletes data.
+
+The reference engine processes file-at-a-time and has no join storage
+layout at all (`/root/reference/disconnected_language_detector.py` reads
+one media file per task); this module is part of the scale surface that
+makes the Spark re-expression worth doing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as an external parquet table bucketed on ``bucket_cols``.
+
+    The table is registered in the session catalog under ``name`` (that
+    registration is what carries the bucketing layout to the planner);
+    the files live at ``path`` and survive the catalog entry.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    # one shuffle here buys two things at scale: (a) file count is bounded
+    # by n_buckets instead of n_write_tasks × n_buckets (the small-files
+    # explosion), and (b) each bucket is exactly ONE file, which is the
+    # precondition for Spark to trust sortBy order and drop the Sort under
+    # a SortMergeJoin on read.  This is the write-once shuffle the reads
+    # are saving.
+    df = df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name)
+
+
+def _bucket_spec(spark: SparkSession, name: str) -> tuple[int, list[str]]:
+    """(n_buckets, bucket_cols) from the catalog, via DESCRIBE EXTENDED."""
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    }
+    if "Num Buckets" not in rows:
+        raise ValueError(f"table {name} is not bucketed")
+    cols = [c.strip(" `") for c in rows["Bucket Columns"].strip("[]").split(",")]
+    return int(rows["Num Buckets"]), cols
+
+
+def colocated_join(
+    spark: SparkSession,
+    left_name: str,
+    right_name: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed catalog tables, guaranteeing the co-located plan.
+
+    Raises instead of silently shuffling when the tables' bucket layouts
+    cannot satisfy the join (different counts — unless one divides the
+    other and coalesceBucketsInJoin is on — or the join keys are not a
+    prefix-complete match of the bucket columns).  A plan regression at
+    100 TB is an outage, not a nuance; fail at build time.
+    """
+    ln, lcols = _bucket_spec(spark, left_name)
+    rn, rcols = _bucket_spec(spark, right_name)
+    if set(on) != set(lcols) or set(on) != set(rcols):
+        raise ValueError(
+            f"join keys {on} must equal both bucket column sets "
+            f"({left_name}: {lcols}, {right_name}: {rcols}) for co-location"
+        )
+    coalesce_on = (
+        spark.conf.get(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false"
+        ).lower()
+        == "true"
+    )
+    compatible = ln == rn or (
+        coalesce_on and (ln % rn == 0 or rn % ln == 0)
+    )
+    if not compatible:
+        raise ValueError(
+            f"bucket counts differ ({left_name}: {ln}, {right_name}: {rn}) "
+            "and coalesceBucketsInJoin is off — this join would shuffle"
+        )
+    return spark.table(left_name).join(spark.table(right_name), on, how)

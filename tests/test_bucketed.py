@@ -1,0 +1,123 @@
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.sources.bucketed import (
+    colocated_join,
+    write_bucketed,
+)
+
+
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    """Force SortMergeJoin so the Exchange assertions test bucketing, not
+    broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    right = spark.range(0, 2000, 2).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 13).alias("w")
+    )
+    write_bucketed(left, "b_left", str(tmp_path / "l"), ["doc_id"], 8, ["doc_id"])
+    write_bucketed(right, "b_right", str(tmp_path / "r"), ["doc_id"], 8, ["doc_id"])
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    spark.sql("DROP TABLE IF EXISTS b_right4")
+
+
+def test_colocated_join_has_zero_exchange_and_correct_rows(spark, tables):
+    with _no_broadcast(spark):
+        out = colocated_join(spark, "b_left", "b_right", ["doc_id"])
+        plan = _plan(out)
+        assert ") Exchange" not in plan and "BroadcastExchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert out.count() == 1000
+        # values, not just counts: spot-check the join is a real equi-join
+        row = out.filter(F.col("doc_id") == 26).collect()[0]
+        assert row["v"] == 26 % 7 and row["w"] == 26 % 13
+
+
+def test_unbucketed_control_join_shuffles(spark, tmp_path):
+    # negative control: identical data WITHOUT bucketing must show the
+    # Exchange the bucketed plan eliminated — otherwise the positive test
+    # proves nothing about bucketing
+    left = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    right = spark.range(0, 2000, 2).select(F.col("id").alias("doc_id"))
+    left.write.parquet(str(tmp_path / "pl"))
+    right.write.parquet(str(tmp_path / "pr"))
+    with _no_broadcast(spark):
+        out = spark.read.parquet(str(tmp_path / "pl")).join(
+            spark.read.parquet(str(tmp_path / "pr")), ["doc_id"]
+        )
+        assert ") Exchange" in _plan(out)
+
+
+def test_groupby_on_bucket_key_has_zero_exchange(spark, tables):
+    agg = spark.table("b_left").groupBy("doc_id").agg(F.sum("v").alias("s"))
+    plan = _plan(agg)
+    assert ") Exchange" not in plan
+    assert agg.count() == 2000
+
+
+def test_sortby_removes_smj_sort(spark, tables):
+    # post-3.0 Spark ignores within-bucket sort order on scan unless the
+    # legacy flag is on (the file-count check it needs was deemed too
+    # expensive to run by default) — writes are one-file-per-bucket here,
+    # which is the flag's documented precondition
+    flag = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    old = spark.conf.get(flag, "false")
+    spark.conf.set(flag, "true")
+    try:
+        with _no_broadcast(spark):
+            plan = _plan(colocated_join(spark, "b_left", "b_right", ["doc_id"]))
+        # buckets were written sortBy(doc_id): no Sort node needed under SMJ
+        import re
+
+        assert not re.search(r"\(\d+\) Sort(?!MergeJoin)", plan)
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set(flag, old)
+
+
+def test_bucket_count_mismatch_raises_unless_coalesce(spark, tables, tmp_path):
+    right4 = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    write_bucketed(right4, "b_right4", str(tmp_path / "r4"), ["doc_id"], 4)
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        colocated_join(spark, "b_left", "b_right4", ["doc_id"])
+    # with coalescing enabled, 8 % 4 == 0 is allowed and still no shuffle
+    old = spark.conf.get("spark.sql.bucketing.coalesceBucketsInJoin.enabled")
+    spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+    try:
+        with _no_broadcast(spark):
+            out = colocated_join(spark, "b_left", "b_right4", ["doc_id"])
+            assert ") Exchange" not in _plan(out)
+            assert out.count() == 100
+    finally:
+        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", old)
+
+
+def test_wrong_join_key_raises(spark, tables):
+    with pytest.raises(ValueError, match="bucket column sets"):
+        colocated_join(spark, "b_left", "b_right", ["v"])
