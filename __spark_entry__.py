@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (32/32) — including the model/LSH stages, re-derived in SQL
+EVERY query (33/33) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1911,6 +1911,62 @@ FROM capped GROUP BY doc_id
 """
 
 
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval for curation: top-10 documents by BM25 for a
+    mixed-idf query (one rare term, two common).  Two scans — a 1-row
+    stats agg, then broadcast-back scoring — no UDF, no content shuffle;
+    top-k is TakeOrdered.  Scores ship as milli-ints so cross-engine
+    float formatting can't perturb the hash."""
+    from language_identification_spark.operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, ["dup", "vector", "spark"], k=10)
+
+
+# Mirrors operators/retrieval.py term by term, replicating the exact
+# floating-point evaluation order (0.0 + term0 + term1 + term2, each
+# ((idf*tf)*(k1+1))/(tf+norm)); literals are ::DOUBLE because DuckDB
+# otherwise parses `1.2` as DECIMAL and evaluates in decimal arithmetic.
+_SQL_BM25_TOPK = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split(t, ' ') END AS words
+  FROM (SELECT doc_id,
+               trim(regexp_replace(lower(coalesce(text, '')),
+                                   '[^\\p{L}\\p{N}]+', ' ', 'g')) AS t
+        FROM documents)
+),
+tf AS (
+  SELECT doc_id, len(words) AS dl,
+         len(list_filter(words, x -> x = 'dup'))    AS tf0,
+         len(list_filter(words, x -> x = 'vector')) AS tf1,
+         len(list_filter(words, x -> x = 'spark'))  AS tf2
+  FROM tok
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tf
+)
+SELECT doc_id,
+       CAST(round((0.0
+         + ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2::DOUBLE + 1)
+           / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+         + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2::DOUBLE + 1)
+           / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+         + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2::DOUBLE + 1)
+           / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+       ) * 1000) AS BIGINT) AS bm25_milli
+FROM tf, stats
+WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+ORDER BY bm25_milli DESC, doc_id
+LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -1945,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_line_spans": _q_line_spans,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -1982,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_representatives": _sql_dedup_representatives(),
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "decontaminate": _SQL_DECONTAMINATE,
+        "bm25_topk": _SQL_BM25_TOPK,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -419,6 +419,8 @@ def main() -> None:
     # gram explode + window decay over the first passes (page-fault
     # pathology) — min-of-3 like the other mid-tier queries
     timed("decontaminate", lambda: _noop(em._q_decontaminate(spark, SF_DIR)), runs=3)
+    # two corpus scans (stats agg + broadcast-back scoring), zero UDF
+    timed("bm25_topk", lambda: _noop(em._q_bm25_topk(spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)
