@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (33/33) — including the model/LSH stages, re-derived in SQL
+EVERY query (34/34) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1571,24 +1571,14 @@ def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once cache of the write-side ANN index for `sf_dir`.
-
-    Keyed on a fingerprint of the embeddings parquet (file names + sizes +
-    mtimes), not just the path: regenerating embeddings.parquet under the
-    same path invalidates the cache instead of silently reusing a stale
-    index (ADVICE r02 #5)."""
+def _src_fingerprint(src: str) -> str:
+    """Cache key for staged artifacts derived from a parquet source:
+    sha256 over (path, size, mtime) of every constituent file, so
+    regenerating the source under the same path invalidates the cache
+    instead of silently reusing a stale artifact (ADVICE r02 #5)."""
     import hashlib
     import os
-    import tempfile
 
-    from language_identification_spark.operators.similarity import build_ann_index
-
-    from language_identification_spark.operators.similarity import (
-        _CENTROID_FILE,
-    )
-
-    src = f"{sf_dir}/embeddings.parquet"
     h = hashlib.sha256()
     # the source may be a single parquet FILE or a directory of parts —
     # os.walk on a file yields nothing, which silently degenerated the
@@ -1607,8 +1597,28 @@ def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
     for p in paths:
         st = os.stat(p)
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()[:16]
+
+
+def _ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the write-side ANN index for `sf_dir`.
+
+    Keyed on a fingerprint of the embeddings parquet (file names + sizes +
+    mtimes), not just the path: regenerating embeddings.parquet under the
+    same path invalidates the cache instead of silently reusing a stale
+    index (ADVICE r02 #5)."""
+    import os
+    import tempfile
+
+    from language_identification_spark.operators.similarity import build_ann_index
+
+    from language_identification_spark.operators.similarity import (
+        _CENTROID_FILE,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
     idx_dir = os.path.join(
-        tempfile.gettempdir(), f"ann_index_{h.hexdigest()[:16]}"
+        tempfile.gettempdir(), f"ann_index_{_src_fingerprint(src)}"
     )
     # a complete cache has BOTH the parquet _SUCCESS and the centroid
     # sidecar; anything less (older layout, crash between the two writes)
@@ -1967,6 +1977,39 @@ LIMIT 10
 """
 
 
+def _q_range_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout path: rewrite documents range-sorted on doc_id (once,
+    cached on a source fingerprint), then answer a range predicate from
+    the clustered copy.  The pushed-down filter prunes by parquet
+    min/max zone maps — at 100 TB this reads O(matching files), not the
+    table.  The oracle answers the same predicate from the original
+    table, proving the rewrite round-trips rows exactly."""
+    import os
+    import tempfile
+
+    from language_identification_spark.sources.layout import write_range_sorted
+
+    src = f"{sf_dir}/documents.parquet"
+    d = os.path.join(
+        tempfile.gettempdir(), f"range_layout_{_src_fingerprint(src)}"
+    )
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        write_range_sorted(
+            spark.read.parquet(src), d, ["doc_id"], n_ranges=8
+        )
+    return (
+        spark.read.parquet(d)
+        .filter((F.col("doc_id") >= 120) & (F.col("doc_id") <= 260))
+        .select("doc_id", "lang")
+    )
+
+
+_SQL_RANGE_PRUNED_SCAN = """
+SELECT doc_id, lang FROM documents
+WHERE doc_id >= 120 AND doc_id <= 260
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2002,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
         "bm25_topk": _q_bm25_topk,
+        "range_pruned_scan": _q_range_pruned_scan,
     }
 
 
@@ -2040,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _SQL_STRATIFIED_SAMPLE,
         "decontaminate": _SQL_DECONTAMINATE,
         "bm25_topk": _SQL_BM25_TOPK,
+        "range_pruned_scan": _SQL_RANGE_PRUNED_SCAN,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken
