@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (34/34) — including the model/LSH stages, re-derived in SQL
+EVERY query (35/35) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2010,6 +2010,58 @@ WHERE doc_id >= 120 AND doc_id <= 260
 """
 
 
+def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-document line dedup.  The synthetic docs
+    are single-line, so the query first maps spaces to newlines — every
+    word becomes a line, giving a heavily-duplicated line population
+    (vocab ~30 over ~25k lines) that exercises first-occurrence-wins,
+    reassembly, and the skew-exempt blank class.  Returns the reassembled
+    text hashed, plus kept/removed counts."""
+    from language_identification_spark.operators.linededup import dedup_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    return dedup_lines(docs).select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("text_sha256"),
+        "n_kept",
+        "n_removed",
+    )
+
+
+# row_number per line partition = first-occurrence-wins; exempt (blank)
+# lines can share a rank window with dedupable ones only if the line
+# VALUES are equal, which implies equal trimmed length — so the CASE
+# split is exact.  Spark keys the same dedup on xxhash64(line); identical
+# output unless a 64-bit collision occurs (documented in the module).
+_SQL_DEDUP_LINES = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(ls) AS line,
+         unnest(range(0, len(ls))) AS line_no
+  FROM (SELECT doc_id,
+               string_split(replace(coalesce(text, ''), ' ', chr(10)),
+                            chr(10)) AS ls
+        FROM documents)
+),
+flagged AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN len(trim(line)) >= 1
+              THEN row_number() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_no) = 1
+              ELSE TRUE END AS keep
+  FROM lines
+)
+SELECT doc_id,
+       sha256(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                  ORDER BY line_no), '')) AS text_sha256,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2046,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "bm25_topk": _q_bm25_topk,
         "range_pruned_scan": _q_range_pruned_scan,
+        "dedup_lines": _q_dedup_lines,
     }
 
 
@@ -2085,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "bm25_topk": _SQL_BM25_TOPK,
         "range_pruned_scan": _SQL_RANGE_PRUNED_SCAN,
+        "dedup_lines": _SQL_DEDUP_LINES,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

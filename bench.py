@@ -421,6 +421,9 @@ def main() -> None:
     timed("decontaminate", lambda: _noop(em._q_decontaminate(spark, SF_DIR)), runs=3)
     # two corpus scans (stats agg + broadcast-back scoring), zero UDF
     timed("bm25_topk", lambda: _noop(em._q_bm25_topk(spark, SF_DIR)))
+    # line explode -> hash-keyed winner agg -> rebuild: two content
+    # shuffles, min-of-3 like the other explode-heavy queries
+    timed("dedup_lines", lambda: _noop(em._q_dedup_lines(spark, SF_DIR)), runs=3)
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)

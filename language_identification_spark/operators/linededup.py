@@ -1,0 +1,114 @@
+"""Cross-document exact line dedup — C4/RefinedWeb-style repetition removal.
+
+Web-scale corpora are full of repeated LINES that exact whole-document
+dedup never touches: navigation boilerplate, cookie banners, license
+headers, forum signatures.  C4 removed any three-sentence span occurring
+more than once; RefinedWeb/FineWeb remove exact duplicate lines.  The
+semantics here: across the WHOLE corpus, the first occurrence of each
+line (in (doc_id, line_no) order) survives and every later occurrence is
+deleted, then documents are reassembled from their surviving lines.
+
+Spark-first shape, and why it survives 100 TB:
+
+* Lines shuffle by a 64-bit ``xxhash64(line)`` key, never by content
+  alone, and the winner-per-line table is a ``groupBy(hash).agg(min)``
+  — map-side partial aggregation, so the shuffle carries one candidate
+  winner per hash per task, not one row per duplicate.  A window
+  function over ``partitionBy(line)`` would be semantically identical
+  but has NO partial aggregation: a line duplicated a billion times
+  (empty string, "Home | About") becomes one executor's problem.  The
+  groupBy+join form also lets AQE split skewed join partitions.
+* Lines below ``min_chars`` (after trim) are exempt — kept verbatim,
+  never hashed — both because deleting every blank line destroys
+  formatting and because the exempt class is exactly the degenerate-key
+  class that would otherwise hot-spot the shuffle.
+* Reconstruction is one ``groupBy(doc_id)`` with ``collect_list`` of
+  (line_no, line) structs — bounded by document size, the same bound
+  every per-document operator in this engine already assumes.
+* Two content-bearing shuffles total (hash-join the keep flags, regroup
+  by document); marking-only callers (``mark_duplicate_lines``) pay one.
+
+Duplicate detection keys on ``xxhash64`` of the raw line, so two
+DIFFERENT lines colliding in 64 bits would be wrongly deduplicated —
+odds ~n²/2⁶⁵, about 1e-8 even at a billion distinct lines (same
+documented trade as ``operators/decontaminate.py``; use sha256 via
+``hash_expr`` if that is ever unacceptable).
+
+No reference analog: the reference engine has no corpus-level text ops;
+this module is part of the LLM-training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mark_duplicate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Explode ``docs`` into lines and flag which ones survive.
+
+    Returns ``(id_col, line_no, line, keep)`` — one row per line, where
+    ``keep`` is false iff the line is a dedupable duplicate (its trimmed
+    length is ≥ ``min_chars`` and an earlier (doc_id, line_no) has the
+    same content).  NULL text is treated as empty (one blank line, so
+    the document survives reconstruction).
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("line_no", "line"),
+    )
+    dedupable = F.length(F.trim(F.col("line"))) >= min_chars
+    exempt = lines.filter(~dedupable).withColumn("keep", F.lit(True))
+    cand = lines.filter(dedupable).withColumn("_h", F.xxhash64(F.col("line")))
+    winners = cand.groupBy("_h").agg(
+        F.min(F.struct(id_col, "line_no")).alias("_first")
+    )
+    flagged = (
+        cand.join(winners, "_h")
+        .withColumn(
+            "keep", F.struct(F.col(id_col), F.col("line_no")) == F.col("_first")
+        )
+        .drop("_h", "_first")
+    )
+    return flagged.unionByName(exempt)
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Rebuild the corpus with cross-document duplicate lines removed.
+
+    Returns ``(id_col, text, n_kept, n_removed)`` where ``text`` is the
+    document reassembled from its surviving lines in original order (a
+    document whose every line was deleted comes back as the empty
+    string, not NULL — it is the caller's min-length filter's job to
+    drop it).
+    """
+    marked = mark_duplicate_lines(docs, text_col, id_col, min_chars)
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"), F.struct("line_no", "line")
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+    )

@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.linededup import (
+    dedup_lines,
+    mark_duplicate_lines,
+)
+
+CORPUS = [
+    (0, "intro\nshared boilerplate\nbody zero\n\nshared boilerplate"),
+    (1, "shared boilerplate\nbody one\nintro"),
+    (2, "body two\n\n\nbody two\nx"),
+    (3, None),
+    (4, "shared boilerplate"),
+]
+
+
+def _py_dedup(docs, min_chars=1):
+    seen, out = set(), {}
+    for doc_id, text in sorted(docs):
+        kept, removed = [], 0
+        for line in (text or "").split("\n"):
+            if len(line.strip()) >= min_chars:
+                if line in seen:
+                    removed += 1
+                    continue
+                seen.add(line)
+            kept.append(line)
+        out[doc_id] = ("\n".join(kept), len(kept), removed)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string").cache()
+
+
+def test_matches_independent_python(docs):
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in dedup_lines(docs).collect()
+    }
+    assert got == _py_dedup(CORPUS)
+
+
+def test_first_occurrence_wins_globally(docs):
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
+    # doc 0 owns the first "shared boilerplate"; docs 1 and 4 lose theirs,
+    # and doc 0's own second copy is removed too (within-doc repetition)
+    assert "shared boilerplate" in got[0].split("\n")
+    assert got[0].split("\n").count("shared boilerplate") == 1
+    assert "shared boilerplate" not in got[1].split("\n")
+    assert got[4] == ""
+
+
+def test_blank_lines_exempt_and_order_preserved(docs):
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(docs).collect()}
+    # doc 2's blank lines both survive; within-doc dup of "body two" removed
+    assert got[2] == "body two\n\n\nx"
+    # doc 0's blank survives between kept lines, original order intact
+    assert got[0] == "intro\nshared boilerplate\nbody zero\n"
+
+
+def test_null_text_survives_as_empty(docs):
+    row = {r["doc_id"]: r for r in dedup_lines(docs).collect()}[3]
+    assert row["text"] == "" and row["n_kept"] == 1 and row["n_removed"] == 0
+
+
+def test_min_chars_exempts_short_lines(spark):
+    df = spark.createDataFrame(
+        [(0, "ab\nlong enough line"), (1, "ab\nlong enough line")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(df, min_chars=5).collect()}
+    assert got[0] == "ab\nlong enough line"
+    assert got[1] == "ab"  # short line exempt everywhere, long one deduped
+
+
+def test_mark_counts_align(docs):
+    marked = mark_duplicate_lines(docs)
+    n_total = marked.count()
+    n_kept = marked.filter("keep").count()
+    agg = dedup_lines(docs).agg(
+        F.sum("n_kept").alias("k"), F.sum("n_removed").alias("r")
+    ).collect()[0]
+    assert agg["k"] == n_kept and agg["k"] + agg["r"] == n_total
+
+
+def test_plan_is_pure_catalyst(docs):
+    plan = dedup_lines(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # winner table aggregates map-side before its shuffle (partial_min)
+    assert "partial_min" in plan
