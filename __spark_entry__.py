@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (35/35) — including the model/LSH stages, re-derived in SQL
+EVERY query (36/36) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2062,6 +2062,36 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count profile (count, total, mean, p50/p95) in
+    one grouped aggregation.  exact=True here because the oracle audits
+    it cross-engine — Spark's exact `percentile` interpolates identically
+    to DuckDB's quantile_cont; production at scale uses the default
+    percentile_approx sketch (mergeable, bounded memory)."""
+    from language_identification_spark.operators.profile import corpus_profile
+
+    return corpus_profile(
+        _docs(spark, sf_dir), "lang", "text", percentiles=(0.5, 0.95), exact=True
+    )
+
+
+_SQL_CORPUS_PROFILE = """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(tc) AS BIGINT) AS total_tokens,
+       CAST(round(avg(tc) * 1000) AS BIGINT) AS avg_tokens_milli,
+       CAST(round(quantile_cont(tc, 0.5) * 1000) AS BIGINT) AS p50_tokens_milli,
+       CAST(round(quantile_cont(tc, 0.95) * 1000) AS BIGINT) AS p95_tokens_milli
+FROM t GROUP BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2099,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "range_pruned_scan": _q_range_pruned_scan,
         "dedup_lines": _q_dedup_lines,
+        "corpus_profile": _q_corpus_profile,
     }
 
 
@@ -2139,6 +2170,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25_TOPK,
         "range_pruned_scan": _SQL_RANGE_PRUNED_SCAN,
         "dedup_lines": _SQL_DEDUP_LINES,
+        "corpus_profile": _SQL_CORPUS_PROFILE,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken
