@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (36/36) — including the model/LSH stages, re-derived in SQL
+EVERY query (39/39) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2092,6 +2092,128 @@ FROM t GROUP BY lang
 """
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing layout: assign every document its
+    training-sequence slot (shard, seq_id, seq_offset) with only
+    metadata shuffling — per-shard window sums, integer arithmetic
+    throughout, membership reproducible by any engine with sha256."""
+    from language_identification_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), budget=2048, n_shards=8, salt="r5pack"
+    )
+
+
+_SQL_PACK_SEQUENCES = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(sha256('r5pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+  FROM meta
+)
+SELECT doc_id, shard, n_tokens,
+       cum_before // 2048 AS seq_id,
+       cum_before % 2048 AS seq_offset,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (cum_before + n_tokens - 1) // 2048 - cum_before // 2048 + 1
+       END AS seqs_spanned
+FROM cum
+"""
+
+# shared plan parameters for the mixture queries (sf0.01 documents hold
+# ~27k whitespace tokens, so budget 40k + cap 1.5 exercises BOTH the
+# max_epochs cap (tail languages) and fractional epochs (English))
+_MIX_BUDGET = 40_000
+_MIX_ALPHA = 0.5
+_MIX_MAX_EPOCHS = 1.5
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mixture plan (mBERT/XLM-R-style): one grouped
+    aggregation producing per-language token totals, temperature share,
+    and the x1000-quantized epoch factor that drives the deterministic
+    upsample below."""
+    from language_identification_spark.operators.mixture import mixture_plan
+
+    return mixture_plan(
+        _docs(spark, sf_dir),
+        token_budget=_MIX_BUDGET,
+        group_col="lang",
+        alpha=_MIX_ALPHA,
+        max_epochs=_MIX_MAX_EPOCHS,
+    )
+
+
+_SQL_MIXTURE_PLAN_CTE = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tc
+  FROM documents
+), g AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS group_tokens
+  FROM t GROUP BY lang
+), sh AS (
+  SELECT *, CASE WHEN group_tokens > 0
+                 THEN pow(CAST(group_tokens AS DOUBLE), {_MIX_ALPHA})
+                 ELSE 0.0 END AS w_raw
+  FROM g
+), n AS (
+  SELECT *, w_raw / sum(w_raw) OVER () AS share FROM sh
+), plan AS (
+  SELECT lang, n_docs, group_tokens,
+         CAST(round(share * 1000) AS BIGINT) AS share_milli,
+         CASE WHEN group_tokens > 0
+              THEN CAST(round(least({_MIX_MAX_EPOCHS},
+                   {float(_MIX_BUDGET)} * share / group_tokens) * 1000) AS BIGINT)
+              ELSE 0 END AS epochs_milli
+  FROM n
+)
+"""
+
+_SQL_MIXTURE_PLAN = _SQL_MIXTURE_PLAN_CTE + "SELECT * FROM plan"
+
+
+def _q_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize the mixture plan: broadcast-join the k-row plan back to
+    the corpus and emit one row per (document, copy) — integer copies
+    from epochs_milli div 1000, the fractional thousandth resolved by a
+    deterministic sha256 bucket so any engine reproduces membership."""
+    from language_identification_spark.operators.mixture import (
+        mixture_plan,
+        upsample_epochs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    plan = mixture_plan(
+        docs,
+        token_budget=_MIX_BUDGET,
+        group_col="lang",
+        alpha=_MIX_ALPHA,
+        max_epochs=_MIX_MAX_EPOCHS,
+    )
+    return upsample_epochs(docs, plan, group_col="lang", salt="r5epoch")
+
+
+_SQL_EPOCH_UPSAMPLE = _SQL_MIXTURE_PLAN_CTE + """
+SELECT d.doc_id, d.lang, g.copy_idx
+FROM documents d
+JOIN plan p USING (lang),
+LATERAL (SELECT unnest(generate_series(1,
+    p.epochs_milli // 1000
+    + CASE WHEN CAST(('0x' || substr(sha256('r5epoch|' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 10000 < (p.epochs_milli % 1000) * 10
+           THEN 1 ELSE 0 END))) AS g(copy_idx)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2130,6 +2252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pruned_scan": _q_range_pruned_scan,
         "dedup_lines": _q_dedup_lines,
         "corpus_profile": _q_corpus_profile,
+        "pack_sequences": _q_pack_sequences,
+        "mixture_plan": _q_mixture_plan,
+        "epoch_upsample": _q_epoch_upsample,
     }
 
 
@@ -2171,6 +2296,9 @@ def oracle_sql() -> dict[str, str]:
         "range_pruned_scan": _SQL_RANGE_PRUNED_SCAN,
         "dedup_lines": _SQL_DEDUP_LINES,
         "corpus_profile": _SQL_CORPUS_PROFILE,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
+        "mixture_plan": _SQL_MIXTURE_PLAN,
+        "epoch_upsample": _SQL_EPOCH_UPSAMPLE,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

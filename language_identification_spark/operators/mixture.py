@@ -1,0 +1,140 @@
+"""Mixture weighting — temperature-scaled corpus mixing + deterministic
+epoch upsampling.
+
+Multilingual / multi-source pre-training does not sample groups in
+proportion to their raw size: the head group would drown the tails.
+The standard fix (mBERT, XLM-R, mT5, the Pile) is TEMPERATURE
+sampling — group ``l`` gets probability ``t_l^alpha / sum(t_i^alpha)``
+with ``alpha`` in (0, 1] — and the plan is realized by REPEATING
+(epoch-ing) small groups' documents until each group hits its target
+token share.
+
+Two stages, both engine-portable:
+
+* :func:`mixture_plan` — one grouped aggregation over the corpus
+  (group cardinality x constant — languages, sources — never
+  data-sized) producing per-group token totals, the temperature share,
+  and ``epochs_milli``: how many times (x1000, rounded) the group must
+  be repeated to hit its target tokens under ``token_budget``.  The
+  single float -> int rounding point is ``epochs_milli``; everything
+  downstream is integer arithmetic, so two engines that agree on the
+  plan agree on every sampled row.
+* :func:`upsample_epochs` — realizes the plan per document: a
+  broadcast join (the plan is tiny) then ``explode(sequence(...))``.
+  ``n_copies = epochs div 1000``, plus one extra copy for the
+  deterministic sha256-bucket fraction of documents matching the
+  fractional part (same portable bucket as ``operators/sampling.py``
+  — membership is reproducible bit-for-bit on any engine, on any
+  cluster size, on every retry).
+
+Scale shape (100 TB lens): the plan is one short-key shuffle of
+aggregation buffers; the upsample is a broadcast hash join plus a
+generator — zero Exchange over the corpus, no UDF, no driver
+participation beyond the k-row plan.  Fractional-copy membership uses
+sha256(doc_id) so retries and speculative tasks produce identical
+output (a ``rand()``-based upsample breaks exactly-once sinks).
+
+No reference analog: the reference engine (`/root/reference/`) has no
+corpus-mixing stage; part of the LLM-training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from language_identification_spark.functions.text import token_count_col
+from language_identification_spark.operators.sampling import sample_bucket_col
+
+
+def mixture_plan(
+    docs: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    max_epochs: float = 10.0,
+) -> DataFrame:
+    """Per-group temperature-sampling plan.
+
+    Returns ``(group_col, n_docs, group_tokens, share_milli,
+    epochs_milli)`` where ``share_milli`` is the temperature share
+    (x1000, rounded) and ``epochs_milli`` the repeat factor (x1000,
+    rounded, capped at ``max_epochs``).  Groups with zero tokens get
+    share 0 and epochs 0 (nothing to repeat).
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+
+    per_group = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col))).alias("group_tokens"),
+    )
+    # the plan is k rows (k = group cardinality); the cross-group
+    # normalizer is a scalar — an unpartitioned window over k rows, not
+    # over data
+    from pyspark.sql import Window
+
+    raw = F.when(
+        F.col("group_tokens") > 0,
+        F.pow(F.col("group_tokens").cast("double"), F.lit(float(alpha))),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy()
+    planned = per_group.withColumn("w_raw", raw).withColumn(
+        "share", F.col("w_raw") / F.sum("w_raw").over(w)
+    )
+    epochs = F.least(
+        F.lit(float(max_epochs)),
+        F.lit(float(token_budget)) * F.col("share") / F.col("group_tokens"),
+    )
+    return planned.select(
+        group_col,
+        "n_docs",
+        "group_tokens",
+        F.round(F.col("share") * 1000).cast("long").alias("share_milli"),
+        F.when(F.col("group_tokens") > 0, F.round(epochs * 1000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("epochs_milli"),
+    )
+
+
+def upsample_epochs(
+    docs: DataFrame,
+    plan: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Realize a :func:`mixture_plan`: one output row per (document,
+    copy).
+
+    Returns ``(id_col, group_col, copy_idx)`` with ``copy_idx`` in
+    ``[1, n_copies]`` where ``n_copies = epochs_milli div 1000`` plus
+    one for the deterministic fraction of documents whose sha256 bucket
+    falls under ``epochs_milli % 1000`` (bucket space 10000, so the
+    fractional thousandth maps to 10 buckets).  Documents in groups
+    absent from the plan are dropped (no plan row -> no budget).
+    """
+    joined = docs.select(id_col, group_col).join(
+        F.broadcast(plan.select(group_col, "epochs_milli")), group_col, "inner"
+    )
+    bucket = sample_bucket_col(F.col(id_col), salt, 10_000)
+    n_copies = (
+        F.expr("epochs_milli div 1000")
+        + F.when(bucket < (F.col("epochs_milli") % 1000) * 10, 1).otherwise(0)
+    ).cast("long")
+    with_n = joined.select(
+        id_col, group_col, n_copies.alias("n_copies")
+    ).filter(F.col("n_copies") > 0)
+    # sequence(1, n) needs n >= 1 here: Spark's default step is -1 when
+    # start > stop, so the n_copies=0 rows must be filtered, not exploded
+    return with_n.select(
+        id_col,
+        group_col,
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    )

@@ -1,0 +1,100 @@
+"""Sequence packing — concat-and-chunk document→training-sequence layout.
+
+LLM pre-training consumes fixed-length token sequences, not documents:
+the corpus is concatenated in a deterministic order and sliced every
+``budget`` tokens ("concat-and-chunk", the layout used by GPT-3, LLaMA,
+and every packed-pretraining recipe since).  The expensive part at
+corpus scale is not the slicing — it is deciding, for 10^12 documents,
+WHICH sequence each document lands in, without a global sort.
+
+Spark-first shape, and why it survives 100 TB:
+
+* The corpus is split into ``n_shards`` deterministic shards by a
+  sha256 bucket of the document key (engine-portable, same idiom as
+  ``operators/sampling.py``), and packing is independent PER SHARD.
+  A single global concatenation order would need a total order over
+  the corpus — one sort, one machine's problem at the boundary; the
+  sharded layout needs only a hash Exchange on the shard id plus a
+  per-shard sort of (key, token-count) pairs.  Shard count scales
+  with the cluster, and each training sequence still mixes documents
+  (within a shard, order is by key — unrelated documents abut).
+* Only METADATA shuffles: the window runs over (shard, doc_id,
+  n_tokens) — 24 bytes a row, never the text.  Callers join the
+  assignment back to content by doc_id if they materialize sequences.
+* All arithmetic after the token count is integer (cumulative sums,
+  ``div``/``%``), so the assignment is bit-reproducible on any engine
+  — the DuckDB oracle recomputes every column exactly.
+
+Semantics per shard (documents ordered by key ascending):
+
+* ``cum_before`` — tokens of all prior documents in the shard.
+* ``seq_id = cum_before div budget`` — the training sequence in which
+  this document STARTS (documents may span sequence boundaries; the
+  slicer downstream splits them, same as every packed-pretrain layout).
+* ``seq_offset = cum_before % budget`` — token offset in that sequence.
+* ``seqs_spanned`` — how many sequences the document touches (0 for
+  empty documents, which occupy no tokens).
+
+No reference analog: the reference engine (`/root/reference/`) has no
+corpus-layout stage; part of the LLM-training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from language_identification_spark.functions.text import token_count_col
+from language_identification_spark.operators.sampling import sample_bucket_col
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign every document a (shard, seq_id, seq_offset) packing slot.
+
+    Returns ``(id_col, shard, n_tokens, seq_id, seq_offset,
+    seqs_spanned)`` — one row per input document.  ``budget`` is the
+    training-sequence length in whitespace tokens; ``n_shards`` bounds
+    the per-task sort (pick ~4 x executors on a real cluster).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
+    meta = docs.select(
+        F.col(id_col),
+        sample_bucket_col(F.col(id_col), salt, n_shards).alias("shard"),
+        token_count_col(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = F.lit(int(budget))
+    packed = meta.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    cum_end = F.col("cum_before") + F.col("n_tokens")
+    return packed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.expr(f"cum_before div {int(budget)}").alias("seq_id"),
+        (F.col("cum_before") % b).alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0))
+        .otherwise(
+            F.expr(f"(cum_before + n_tokens - 1) div {int(budget)}")
+            - F.expr(f"cum_before div {int(budget)}")
+            + 1
+        )
+        .cast("long")
+        .alias("seqs_spanned"),
+    )

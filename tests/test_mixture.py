@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from language_identification_spark.operators.mixture import (
+    mixture_plan,
+    upsample_epochs,
+)
+
+
+def _py_bucket(salt: str, key, n_buckets: int = 10_000) -> int:
+    h = hashlib.sha256(f"{salt}|{key}".encode()).hexdigest()
+    return int(h[:8], 16) % n_buckets
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # en: 300 docs x 10 tokens = 3000; de: 50 x 10 = 500; es: 20 x 10 = 200
+    rows = []
+    i = 0
+    for lang, n in [("en", 300), ("de", 50), ("es", 20)]:
+        for _ in range(n):
+            rows.append((i, " ".join(["w"] * 10), lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def _plan_rows(corpus, **kw):
+    defaults = dict(token_budget=5000, group_col="lang", alpha=0.5, max_epochs=4.0)
+    defaults.update(kw)
+    return {r["lang"]: r.asDict() for r in mixture_plan(corpus, **defaults).collect()}
+
+
+def test_plan_matches_hand_math(corpus):
+    import math
+
+    got = _plan_rows(corpus)
+    toks = {"en": 3000, "de": 500, "es": 200}
+    wsum = sum(math.sqrt(t) for t in toks.values())
+    for lang, t in toks.items():
+        share = math.sqrt(t) / wsum
+        assert got[lang]["group_tokens"] == t
+        assert got[lang]["share_milli"] == round(share * 1000)
+        assert got[lang]["epochs_milli"] == round(min(4.0, 5000 * share / t) * 1000)
+
+
+def test_temperature_flattens_the_mixture(corpus):
+    got = _plan_rows(corpus)
+    # raw proportions: en 81%, es 5.4%; sqrt-temperature pulls them together
+    assert got["en"]["share_milli"] < 810
+    assert got["es"]["share_milli"] > 54
+    # smaller groups repeat more
+    assert got["es"]["epochs_milli"] > got["de"]["epochs_milli"] > got["en"]["epochs_milli"]
+
+
+def test_max_epochs_cap(corpus):
+    got = _plan_rows(corpus, token_budget=10_000_000, max_epochs=2.5)
+    assert all(r["epochs_milli"] == 2500 for r in got.values())
+
+
+def test_zero_token_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "   ", "xx")], "doc_id long, text string, lang string"
+    )
+    got = {r["lang"]: r.asDict() for r in mixture_plan(df, token_budget=100).collect()}
+    assert got["xx"]["share_milli"] == 0
+    assert got["xx"]["epochs_milli"] == 0
+
+
+def test_validation(corpus):
+    with pytest.raises(ValueError):
+        mixture_plan(corpus, token_budget=0)
+    with pytest.raises(ValueError):
+        mixture_plan(corpus, token_budget=10, alpha=0.0)
+    with pytest.raises(ValueError):
+        mixture_plan(corpus, token_budget=10, alpha=1.5)
+    with pytest.raises(ValueError):
+        mixture_plan(corpus, token_budget=10, max_epochs=0)
+
+
+def test_upsample_copy_counts_follow_plan(spark, corpus):
+    plan = mixture_plan(corpus, token_budget=5000, max_epochs=4.0)
+    plan_rows = {r["lang"]: r["epochs_milli"] for r in plan.collect()}
+    out = upsample_epochs(corpus, plan, salt="s9")
+    counts: dict[int, int] = {}
+    langs: dict[int, str] = {}
+    copy_sets: dict[int, list[int]] = {}
+    for r in out.collect():
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+        langs[r["doc_id"]] = r["lang"]
+        copy_sets.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for doc_id, lang in langs.items():
+        em = plan_rows[lang]
+        expected = em // 1000 + (1 if _py_bucket("s9", doc_id) < (em % 1000) * 10 else 0)
+        assert counts[doc_id] == expected
+        assert sorted(copy_sets[doc_id]) == list(range(1, expected + 1))
+
+
+def test_upsample_fraction_realized(spark):
+    # one group, epochs 1.5 -> total copies ~= 1.5x docs (sha256-uniform)
+    rows = [(i, "a b", "en") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = spark.createDataFrame([("en", 1500)], "lang string, epochs_milli long")
+    n = upsample_epochs(docs, plan).count()
+    assert 2000 * 1.4 < n < 2000 * 1.6
+
+
+def test_docs_without_plan_row_are_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "en"), (2, "b", "xx")], "doc_id long, text string, lang string"
+    )
+    plan = spark.createDataFrame([("en", 2000)], "lang string, epochs_milli long")
+    out = upsample_epochs(docs, plan).collect()
+    assert {r["doc_id"] for r in out} == {1}
+    assert len(out) == 2
+
+
+def test_upsample_plan_is_broadcast_join_no_corpus_exchange(spark, corpus):
+    plan = mixture_plan(corpus, token_budget=5000)
+    out = upsample_epochs(corpus, plan)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys
+    # the corpus side reaches the join without a hash-partition Exchange
+    assert "Exchange hashpartitioning" not in phys.split("BroadcastHashJoin")[0]

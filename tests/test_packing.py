@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from language_identification_spark.operators.packing import pack_sequences
+
+
+def _py_shard(salt: str, key, n_shards: int) -> int:
+    h = hashlib.sha256(f"{salt}|{key}".encode()).hexdigest()
+    return int(h[:8], 16) % n_shards
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # doc_id i has i tokens (i words), so cumulative sums are easy to
+    # reason about; doc 0 is empty (0 tokens)
+    rows = [(i, " ".join(["w"] * i)) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _packed(docs, budget=10, n_shards=1, salt="t"):
+    out = pack_sequences(docs, budget=budget, n_shards=n_shards, salt=salt)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_single_shard_matches_hand_cumsum(docs):
+    got = _packed(docs, budget=10, n_shards=1)
+    cum = 0
+    for i in range(40):
+        r = got[i]
+        assert r["n_tokens"] == i
+        assert r["seq_id"] == cum // 10
+        assert r["seq_offset"] == cum % 10
+        if i == 0:
+            assert r["seqs_spanned"] == 0
+        else:
+            assert r["seqs_spanned"] == (cum + i - 1) // 10 - cum // 10 + 1
+        cum += i
+
+
+def test_exact_boundary_doc_starts_next_sequence(spark):
+    # 10-token doc then 5-token doc with budget 10: second doc starts at
+    # offset 0 of sequence 1, spans exactly one sequence
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 10)), (2, " ".join(["b"] * 5))],
+        "doc_id long, text string",
+    )
+    got = _packed(df, budget=10, n_shards=1)
+    assert got[1] == {
+        "doc_id": 1, "shard": 0, "n_tokens": 10,
+        "seq_id": 0, "seq_offset": 0, "seqs_spanned": 1,
+    }
+    assert got[2] == {
+        "doc_id": 2, "shard": 0, "n_tokens": 5,
+        "seq_id": 1, "seq_offset": 0, "seqs_spanned": 1,
+    }
+
+
+def test_empty_doc_occupies_no_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 7)), (2, "   "), (3, "x y")],
+        "doc_id long, text string",
+    )
+    got = _packed(df, budget=10, n_shards=1)
+    assert got[2]["n_tokens"] == 0
+    assert got[2]["seqs_spanned"] == 0
+    # the empty doc does not advance the cursor
+    assert got[3]["seq_offset"] == 7
+
+
+def test_sharding_is_deterministic_and_partitions_independent(docs):
+    got = _packed(docs, budget=10, n_shards=4, salt="s2")
+    shards = {i: _py_shard("s2", i, 4) for i in range(40)}
+    assert {i: got[i]["shard"] for i in range(40)} == shards
+    # per-shard: recompute cumulative sums independently
+    for s in range(4):
+        members = sorted(i for i in range(40) if shards[i] == s)
+        cum = 0
+        for i in members:
+            assert got[i]["seq_id"] == cum // 10
+            assert got[i]["seq_offset"] == cum % 10
+            cum += i
+
+
+def test_doc_spanning_multiple_sequences(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(["a"] * 3)), (2, " ".join(["b"] * 25))],
+        "doc_id long, text string",
+    )
+    got = _packed(df, budget=10, n_shards=1)
+    # doc 2: tokens 3..27 -> sequences 0,1,2
+    assert got[2]["seq_id"] == 0
+    assert got[2]["seq_offset"] == 3
+    assert got[2]["seqs_spanned"] == 3
+
+
+def test_validation(docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=10, n_shards=0)
+
+
+def test_plan_shuffles_metadata_only(spark, tmp_path_factory):
+    """Exactly one Exchange (hash on shard), and its input is the 3-column
+    metadata projection — the text column never shuffles."""
+    import contextlib
+    import io
+
+    d = str(tmp_path_factory.mktemp("packsrc") / "docs.parquet")
+    rows = [(i, " ".join(["w"] * (i % 7))) for i in range(100)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(d)
+    out = pack_sequences(spark.read.parquet(d), budget=10, n_shards=4)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    exchanges = [l for l in plan.splitlines() if ") Exchange" in l]
+    assert len(exchanges) == 1
+    # the formatted plan lists each node's Input: the Exchange section must
+    # carry only the metadata columns
+    sec = plan.split("Exchange")[-1].splitlines()
+    input_line = next(l for l in sec if l.strip().startswith("Input"))
+    assert "text" not in input_line
+    assert "Input [3]" in input_line
