@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (39/39) — including the model/LSH stages, re-derived in SQL
+EVERY query (40/40) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2127,6 +2127,54 @@ SELECT doc_id, shard, n_tokens,
 FROM cum
 """
 
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing: the actual training sequences, reassembled
+    from document pieces split at sequence boundaries by pure-Catalyst
+    slice arithmetic — two content shuffles (assignment join + regroup),
+    per-group state bounded by the token budget by construction.  The
+    oracle rebuilds every sequence's token stream and compares sha256."""
+    from language_identification_spark.operators.packing import (
+        materialize_sequences,
+    )
+
+    return materialize_sequences(
+        _docs(spark, sf_dir), budget=512, n_shards=8, salt="r5pack"
+    )
+
+
+_SQL_PACKED_SEQUENCES = """
+WITH meta AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(sha256('r5pack|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 8 AS shard,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, text, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+  FROM meta
+), nz AS (
+  SELECT shard, cum_before, n_tokens,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM cum WHERE n_tokens > 0
+), pieces AS (
+  SELECT shard, g.seq_id,
+         greatest(cum_before, g.seq_id * 512) - g.seq_id * 512 AS off,
+         toks[CAST(greatest(cum_before, g.seq_id * 512) - cum_before + 1 AS BIGINT)
+              : CAST(least(cum_before + n_tokens, (g.seq_id + 1) * 512) - cum_before AS BIGINT)]
+           AS piece
+  FROM nz, LATERAL (SELECT unnest(generate_series(
+      cum_before // 512, (cum_before + n_tokens - 1) // 512))) AS g(seq_id)
+)
+SELECT shard, seq_id,
+       CAST(len(flatten(list(piece ORDER BY off))) AS BIGINT) AS n_tokens,
+       sha256(array_to_string(flatten(list(piece ORDER BY off)), ' ')) AS seq_sha256
+FROM pieces GROUP BY shard, seq_id
+"""
+
+
 # shared plan parameters for the mixture queries (sf0.01 documents hold
 # ~27k whitespace tokens, so budget 40k + cap 1.5 exercises BOTH the
 # max_epochs cap (tail languages) and fractional epochs (English))
@@ -2253,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "corpus_profile": _q_corpus_profile,
         "pack_sequences": _q_pack_sequences,
+        "packed_sequences": _q_packed_sequences,
         "mixture_plan": _q_mixture_plan,
         "epoch_upsample": _q_epoch_upsample,
     }
@@ -2297,6 +2346,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_DEDUP_LINES,
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
+        "packed_sequences": _SQL_PACKED_SEQUENCES,
         "mixture_plan": _SQL_MIXTURE_PLAN,
         "epoch_upsample": _SQL_EPOCH_UPSAMPLE,
     }

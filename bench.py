@@ -436,6 +436,13 @@ def main() -> None:
     timed("corpus_profile", lambda: _noop(em._q_corpus_profile(spark, SF_DIR)))
     # packing layout: metadata-only shuffle + per-shard window
     timed("pack_sequences", lambda: _noop(em._q_pack_sequences(spark, SF_DIR)))
+    # materialized packing: two content shuffles (assignment join +
+    # budget-bounded regroup) — min-of-3 like the other content movers
+    timed(
+        "packed_sequences",
+        lambda: _noop(em._q_packed_sequences(spark, SF_DIR)),
+        runs=3,
+    )
     # k-row mixture plan, then broadcast-join + generator upsample
     timed("mixture_plan", lambda: _noop(em._q_mixture_plan(spark, SF_DIR)))
     timed("epoch_upsample", lambda: _noop(em._q_epoch_upsample(spark, SF_DIR)))

@@ -98,3 +98,94 @@ def pack_sequences(
         .cast("long")
         .alias("seqs_spanned"),
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Materialize the packed training sequences themselves.
+
+    Returns one row per (shard, seq_id): ``(shard, seq_id, n_tokens,
+    seq_sha256)`` where ``seq_sha256`` hashes the space-joined token
+    stream of the sequence.  Every sequence holds exactly ``budget``
+    tokens except the final one per shard.
+
+    Unlike :func:`pack_sequences` (metadata only), materialization must
+    move content — that cost is irreducible (a sequence interleaves
+    pieces of many documents) and is paid here as exactly TWO content
+    shuffles, both well-shaped for 100 TB:
+
+    1. a sort-merge join of the metadata assignment back to the text on
+       the document key (the assignment is corpus-sized metadata, not
+       broadcastable; content crosses the wire once, salted by the
+       document key — no skew, documents are the unit);
+    2. a ``groupBy(shard, seq_id)`` reassembly whose per-group state is
+       bounded by ``budget`` tokens BY CONSTRUCTION — the one
+       aggregation in this engine with a compile-time state bound.
+
+    When the planner keeps the window's ``hashpartitioning(shard)``
+    through the join (AQE broadcasts the assignment at small scale),
+    the regroup needs NO new Exchange — ``HashPartitioning(shard)``
+    already clusters ``(shard, seq_id)`` — so the whole materialization
+    runs on a single content shuffle.
+
+    The window itself still sees only metadata (same plan shape as
+    :func:`pack_sequences`): carrying token arrays through the per-shard
+    window would shuffle content into the window sort buffers instead.
+    Documents spanning sequence boundaries are split by pure-Catalyst
+    ``slice`` arithmetic — no UDF anywhere.
+    """
+    assign = pack_sequences(
+        docs, budget=budget, id_col=id_col, text_col=text_col,
+        n_shards=n_shards, salt=salt,
+    ).filter(F.col("n_tokens") > 0)
+    joined = assign.join(docs.select(id_col, text_col), id_col)
+
+    b = int(budget)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    last_seq = F.expr(f"seq_id + seqs_spanned - 1")
+    pieces = (
+        joined.withColumn("toks", toks)
+        .withColumn("cum_before", F.col("seq_id") * b + F.col("seq_offset"))
+        .select(
+            "shard",
+            "cum_before",
+            "n_tokens",
+            "toks",
+            F.explode(F.sequence(F.col("seq_id"), last_seq)).alias("seq_id"),
+        )
+        # global token interval of this doc ∩ this sequence, re-based to
+        # the document (for slice) and to the sequence (for ordering)
+        .withColumn("g_start", F.greatest(F.col("cum_before"), F.col("seq_id") * b))
+        .withColumn(
+            "g_end",
+            F.least(F.col("cum_before") + F.col("n_tokens"), (F.col("seq_id") + 1) * b),
+        )
+        .select(
+            "shard",
+            "seq_id",
+            (F.col("g_start") - F.col("seq_id") * b).alias("off"),
+            F.slice(
+                F.col("toks"),
+                (F.col("g_start") - F.col("cum_before") + 1).cast("int"),
+                (F.col("g_end") - F.col("g_start")).cast("int"),
+            ).alias("piece"),
+        )
+    )
+    seq_tokens = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("off", "piece"))),
+            lambda x: x["piece"],
+        )
+    )
+    return pieces.groupBy("shard", "seq_id").agg(
+        F.size(seq_tokens).cast("long").alias("n_tokens"),
+        F.sha2(F.encode(F.concat_ws(" ", seq_tokens), "UTF-8"), 256).alias(
+            "seq_sha256"
+        ),
+    )

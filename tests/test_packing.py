@@ -3,8 +3,12 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
-from language_identification_spark.operators.packing import pack_sequences
+from language_identification_spark.operators.packing import (
+    materialize_sequences,
+    pack_sequences,
+)
 
 
 def _py_shard(salt: str, key, n_shards: int) -> int:
@@ -101,6 +105,74 @@ def test_validation(docs):
         pack_sequences(docs, budget=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, budget=10, n_shards=0)
+
+
+def _py_pack(texts_by_id: dict[int, str], budget: int, n_shards: int, salt: str):
+    """Independent pure-Python packer: concatenate each shard's token
+    stream in doc_id order, chunk every `budget` tokens, sha256 each chunk."""
+    seqs: dict[tuple[int, int], str] = {}
+    streams: dict[int, list[str]] = {s: [] for s in range(n_shards)}
+    for i in sorted(texts_by_id):
+        t = texts_by_id[i].strip()
+        if t:
+            streams[_py_shard(salt, i, n_shards)].extend(t.split())
+    out = {}
+    for s, stream in streams.items():
+        for q in range(0, (len(stream) + budget - 1) // budget):
+            chunk = stream[q * budget : (q + 1) * budget]
+            out[(s, q)] = (
+                len(chunk),
+                hashlib.sha256(" ".join(chunk).encode()).hexdigest(),
+            )
+    return out
+
+
+def test_materialized_sequences_match_independent_packer(spark):
+    import random
+
+    rng = random.Random(7)
+    texts = {
+        i: " ".join(f"w{rng.randrange(1000)}" for _ in range(rng.randrange(0, 40)))
+        for i in range(200)
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["shard"], r["seq_id"]): (r["n_tokens"], r["seq_sha256"])
+        for r in materialize_sequences(df, budget=64, n_shards=4, salt="m1").collect()
+    }
+    assert got == _py_pack(texts, 64, 4, "m1")
+
+
+def test_materialized_full_budget_except_shard_tail(spark):
+    rows = [(i, " ".join(["t"] * (3 + i % 11))) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = materialize_sequences(df, budget=50, n_shards=3, salt="m2").collect()
+    last = {}
+    for r in out:
+        last[r["shard"]] = max(last.get(r["shard"], -1), r["seq_id"])
+    total = 0
+    for r in out:
+        total += r["n_tokens"]
+        if r["seq_id"] != last[r["shard"]]:
+            assert r["n_tokens"] == 50
+    # token conservation: every input token lands in exactly one sequence
+    assert total == sum(3 + i % 11 for i in range(300))
+
+
+def test_materialized_agrees_with_assignment(spark):
+    """Cross-check: pack_sequences' per-doc seq ids are exactly the
+    sequences the materializer put the doc's tokens into."""
+    rows = [(i, " ".join([f"d{i}"] * (i % 30))) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seqs = materialize_sequences(df, budget=40, n_shards=2, salt="m3")
+    assign = pack_sequences(df, budget=40, n_shards=2, salt="m3")
+    max_seq = {
+        r["shard"]: r["mx"]
+        for r in seqs.groupBy("shard").agg(F.max("seq_id").alias("mx")).collect()
+    }
+    for r in assign.filter("n_tokens > 0").collect():
+        assert 0 <= r["seq_id"] <= max_seq[r["shard"]]
+        assert r["seq_id"] + r["seqs_spanned"] - 1 <= max_seq[r["shard"]]
 
 
 def test_plan_shuffles_metadata_only(spark, tmp_path_factory):
