@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (40/40) — including the model/LSH stages, re-derived in SQL
+EVERY query (41/41) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1772,6 +1772,47 @@ def _q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style end-to-end semantic deduplication: sign-LSH
+    banded cosine near-dup pairs over the embedding column → O(log n)
+    large-star/small-star components → keep the component-min
+    representative plus every un-grouped vector.  The full composition a
+    training pipeline runs; every stage is individually oracled, and
+    this query oracles the chain."""
+    from language_identification_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb.select("vec_id", "embedding"), threshold=_DUP_THRESHOLD).select(
+        F.col("vec_id").cast("long").alias("vec_id")
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    pairs_sql = _sql_cosine_dup_pairs()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pairs_sql}) t
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (
+  SELECT node AS vec_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY node
+)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id != component)
+"""
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.similarity import ivf_topk
 
@@ -2286,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_indexed": _q_lsh_topk_indexed,
         "wav_convert_props": _q_wav_convert,
         "cosine_dup_pairs": _q_cosine_dup_pairs,
+        "semantic_dedup": _q_semantic_dedup,
         "scrub_documents": _q_scrub,
         "langid_documents": _q_langid,
         "minhash_jaccard_pairs": _q_minhash_pairs,
@@ -2331,6 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_indexed": _sql_lsh_topk(),
         "wav_convert_props": _SQL_WAV_CONVERT,
         "cosine_dup_pairs": _sql_cosine_dup_pairs(),
+        "semantic_dedup": _sql_semantic_dedup(),
         "scrub_documents": _sql_scrub(),
         "langid_documents": _sql_langid(),
         "simhash_buckets": _sql_simhash(),

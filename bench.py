@@ -446,6 +446,13 @@ def main() -> None:
     # k-row mixture plan, then broadcast-join + generator upsample
     timed("mixture_plan", lambda: _noop(em._q_mixture_plan(spark, SF_DIR)))
     timed("epoch_upsample", lambda: _noop(em._q_epoch_upsample(spark, SF_DIR)))
+    # end-to-end semantic dedup (pairs -> star components -> representatives);
+    # iterative star rounds each launch jobs, so min-of-3
+    timed(
+        "semantic_dedup",
+        lambda: _noop(em._q_semantic_dedup(spark, SF_DIR)),
+        runs=3,
+    )
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)

@@ -437,3 +437,38 @@ def lsh_topk_indexed(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 40,
+) -> DataFrame:
+    """SemDeDup-style end-to-end semantic deduplication (Abbas et al.,
+    2023): keep ONE representative per group of embedding-near-duplicate
+    rows, plus every un-grouped row.
+
+    The composition a training pipeline actually runs, as one call:
+
+    1. :func:`cosine_dup_pairs` — sign-LSH banded candidates + exact
+       cosine verification (one short-key shuffle, no O(n²) cross join);
+    2. ``connected_components_star`` — O(log n) large-star/small-star
+       contraction, giant/chain-component safe;
+    3. ``keep_representatives`` — left-anti join on ids only (pairs-scale
+       metadata; embedding vectors never travel past stage 1).
+
+    Returns ``df`` filtered to the kept rows (all original columns).
+    Every stage is individually oracle-verified; the driver query
+    ``semantic_dedup`` oracles this full chain against a recursive-CTE
+    closure in DuckDB.
+    """
+    from language_identification_spark.operators.dedup import (
+        connected_components_star,
+        keep_representatives,
+    )
+
+    pairs = cosine_dup_pairs(df, threshold=threshold, vec_col=vec_col, id_col=id_col)
+    comps = connected_components_star(pairs, max_iter=max_iter)
+    return keep_representatives(df, comps, id_col=id_col)

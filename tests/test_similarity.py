@@ -176,3 +176,37 @@ def test_indexed_probe_requires_centroid_sidecar(spark, emb, tmp_path):
     q = [0.1] * DIM
     with pytest.raises(FileNotFoundError, match="centroid sidecar"):
         ivf_topk_indexed(spark, idx_dir, q, k=5)
+
+
+def test_semantic_dedup_keeps_one_per_clique_plus_singletons(spark):
+    from language_identification_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(31)
+    rows = []
+    # 5 cliques of 4 near-identical vectors (tiny jitter, cosine ~1) with
+    # ids interleaved so the representative is not trivially contiguous,
+    # plus 20 well-separated singletons (isotropic randoms are ~orthogonal
+    # at dim 64, far below the 0.95 threshold)
+    expected_kept = set()
+    vid = 0
+    clique_ids = []
+    for c in range(5):
+        base = rng.standard_normal(DIM)
+        ids = []
+        for _ in range(4):
+            v = base + rng.standard_normal(DIM) * 1e-3
+            rows.append((vid, [float(x) for x in v]))
+            ids.append(vid)
+            vid += 3  # non-contiguous ids
+        clique_ids.append(ids)
+        expected_kept.add(min(ids))
+    for _ in range(20):
+        v = rng.standard_normal(DIM)
+        rows.append((vid, [float(x) for x in v]))
+        expected_kept.add(vid)
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r["vec_id"] for r in semantic_dedup(df, threshold=0.95).collect()}
+    assert kept == expected_kept
+    # all original columns survive
+    assert semantic_dedup(df, threshold=0.95).columns == ["vec_id", "embedding"]
