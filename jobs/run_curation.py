@@ -1,0 +1,236 @@
+"""spark-submit entry point for the training-data curation pipeline.
+
+Chains the corpus-curation operator family end to end — the sequence a
+pre-training data run actually executes over a document lake:
+
+    spark-submit --py-files /tmp/pipeline.zip jobs/run_curation.py \
+        --source /path/to/documents_parquet \
+        --out /path/to/output_root \
+        [--benchmark /path/to/heldout_parquet]   # decontamination
+        [--rates '{"en": 0.35, "de": 1.0}' --default-rate 0.1]
+        [--mixture-budget 1000000000 --alpha 0.5 --max-epochs 4]
+        [--pack-budget 2048 --pack-shards 1024]
+        [--line-dedup] [--materialize]
+
+Stages (each optional stage is skipped unless its flag is given; every
+stage reads the previous stage's parquet, so a failed run resumes by
+re-submitting — completed stage outputs are detected and reused):
+
+1. **exact dedup** — first doc per sha256(content) survives.
+2. **line dedup** (``--line-dedup``) — C4/RefinedWeb-style cross-corpus
+   repeated-line removal.
+3. **decontamination** (``--benchmark``) — drop docs sharing a word
+   13-gram with the held-out set (GPT-3 appendix C semantics).
+4. **stratified sampling** (``--rates``) — deterministic sha256-bucket
+   rebalancing.
+5. **profile** — per-lang token distribution of the surviving corpus
+   (the report sampling/mixture decisions are made from).
+6. **mixture plan + epoch upsample** (``--mixture-budget``) — t^alpha
+   temperature weights realized as deterministic per-doc copy counts.
+7. **packing** (``--pack-budget``) — every (doc, copy) assigned its
+   training-sequence slot; ``--materialize`` also writes the packed
+   sequence hashes (budget-bounded regroup).
+
+All stages are pure DataFrame plans: no collect(), no driver-side row
+loops; reruns are bit-identical (sha256-bucket determinism end to end).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _done(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _write(df, path: str) -> None:
+    df.write.mode("overwrite").parquet(path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--group-col", default="lang")
+    ap.add_argument("--benchmark", default=None,
+                    help="held-out parquet to decontaminate against")
+    ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--rates", default=None,
+                    help='JSON stratum->rate map, e.g. \'{"en": 0.35}\'')
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--line-dedup", action="store_true")
+    ap.add_argument("--mixture-budget", type=int, default=None,
+                    help="token budget for the temperature mixture")
+    ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--max-epochs", type=float, default=4.0)
+    ap.add_argument("--pack-budget", type=int, default=None,
+                    help="training-sequence length in tokens")
+    ap.add_argument("--pack-shards", type=int, default=1024)
+    ap.add_argument("--materialize", action="store_true",
+                    help="also write packed sequence hashes")
+    ap.add_argument("--app-name", default="curation")
+    args = ap.parse_args()
+
+    from language_identification_spark.operators.dedup import exact_dedup
+    from language_identification_spark.operators.decontaminate import decontaminate
+    from language_identification_spark.operators.linededup import dedup_lines
+    from language_identification_spark.operators.mixture import (
+        mixture_plan,
+        upsample_epochs,
+    )
+    from language_identification_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+    from language_identification_spark.operators.profile import corpus_profile
+    from language_identification_spark.operators.sampling import stratified_sample
+
+    # plain builder (no master override) so spark-submit controls deployment;
+    # when embedded (tests, notebooks) reuse the active session and leave
+    # its lifecycle to the caller
+    owned = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName(args.app_name).getOrCreate()
+    report: dict[str, object] = {"source": args.source}
+
+    cur_path = args.source
+    stage_no = 0
+
+    def stage(name: str, fn) -> None:
+        """Run one corpus->corpus stage with parquet handoff + resume."""
+        nonlocal cur_path, stage_no
+        stage_no += 1
+        out = os.path.join(args.out, f"{stage_no:02d}_{name}")
+        if not _done(out):
+            _write(fn(spark.read.parquet(cur_path)), out)
+        report[name] = out
+        cur_path = out
+
+    def _exact_dedup_corpus(df):
+        # exact_dedup returns groups; the corpus keeps representatives only
+        # (left-semi on ids — content never joins)
+        reps = exact_dedup(df, args.text_col, args.id_col).select(
+            F.col("representative").alias(args.id_col)
+        )
+        return df.join(reps, args.id_col, "left_semi")
+
+    stage("exact_dedup", _exact_dedup_corpus)
+
+    if args.line_dedup:
+        # dedup_lines rebuilds (id, text); re-attach the metadata columns
+        stage(
+            "line_dedup",
+            lambda df: dedup_lines(df, text_col=args.text_col, id_col=args.id_col)
+            .select(args.id_col, args.text_col)
+            .join(df.drop(args.text_col), args.id_col),
+        )
+
+    if args.benchmark:
+        bench_df = spark.read.parquet(args.benchmark)
+        # decontaminate returns the CONTAMINATED ids; the corpus drops them
+        stage(
+            "decontaminated",
+            lambda df: df.join(
+                decontaminate(
+                    df, bench_df, n=args.ngram,
+                    text_col=args.text_col, id_col=args.id_col,
+                ).select(args.id_col),
+                args.id_col,
+                "left_anti",
+            ),
+        )
+
+    if args.rates:
+        rates = {k: float(v) for k, v in json.loads(args.rates).items()}
+        stage(
+            "sampled",
+            lambda df: stratified_sample(
+                df, args.group_col, args.id_col, rates,
+                default_rate=args.default_rate,
+            ),
+        )
+
+    profile_path = os.path.join(args.out, "profile")
+    if not _done(profile_path):
+        _write(
+            corpus_profile(
+                spark.read.parquet(cur_path), args.group_col, args.text_col
+            ),
+            profile_path,
+        )
+    report["profile"] = profile_path
+
+    if args.mixture_budget:
+        plan_path = os.path.join(args.out, "mixture_plan")
+        copies_path = os.path.join(args.out, "copies")
+        if not _done(plan_path):
+            _write(
+                mixture_plan(
+                    spark.read.parquet(cur_path), args.mixture_budget,
+                    group_col=args.group_col, text_col=args.text_col,
+                    alpha=args.alpha, max_epochs=args.max_epochs,
+                ),
+                plan_path,
+            )
+        if not _done(copies_path):
+            docs = spark.read.parquet(cur_path)
+            _write(
+                upsample_epochs(
+                    docs, spark.read.parquet(plan_path),
+                    group_col=args.group_col, id_col=args.id_col,
+                ).join(docs.drop(args.group_col), args.id_col),
+                copies_path,
+            )
+        report["mixture_plan"] = plan_path
+        report["copies"] = copies_path
+        cur_path = copies_path
+
+    if args.pack_budget:
+        # pack (doc, copy) units: a repeated doc occupies one slot per copy
+        assign_path = os.path.join(args.out, "packing")
+        docs = spark.read.parquet(cur_path)
+        if "copy_idx" in docs.columns:
+            docs = docs.withColumn(
+                args.id_col,
+                F.concat_ws("#", F.col(args.id_col).cast("string"), "copy_idx"),
+            )
+        if not _done(assign_path):
+            _write(
+                pack_sequences(
+                    docs, budget=args.pack_budget,
+                    id_col=args.id_col, text_col=args.text_col,
+                    n_shards=args.pack_shards,
+                ),
+                assign_path,
+            )
+        report["packing"] = assign_path
+        if args.materialize:
+            seq_path = os.path.join(args.out, "sequences")
+            if not _done(seq_path):
+                _write(
+                    materialize_sequences(
+                        docs, budget=args.pack_budget,
+                        id_col=args.id_col, text_col=args.text_col,
+                        n_shards=args.pack_shards,
+                    ),
+                    seq_path,
+                )
+            report["sequences"] = seq_path
+
+    print(json.dumps(report))
+    if owned:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

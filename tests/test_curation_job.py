@@ -1,0 +1,98 @@
+"""Integration: jobs/run_curation.py end-to-end on a tiny corpus.
+
+Drives the spark-submit entry through main() (monkeypatched argv, reusing
+the session fixture via a getOrCreate that finds the active session) and
+checks every stage's parquet output against independently computed
+expectations."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("curation")
+    rows = []
+    vid = 0
+    # 3 languages; docs 0/1 are exact duplicates; doc 2 shares a 5-gram
+    # with the benchmark
+    texts = {
+        "en": ["alpha beta gamma delta epsilon zeta", "one two three four five six"],
+        "de": ["eins zwei drei vier funf sechs", "sieben acht neun zehn elf zwolf"],
+        "es": ["uno dos tres cuatro cinco seis", "siete ocho nueve diez once doce"],
+    }
+    for lang, ts in texts.items():
+        for t in ts:
+            for _ in range(1 + (vid == 0)):  # duplicate the first doc
+                rows.append((vid, t, lang))
+                vid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src = str(d / "docs.parquet")
+    df.write.parquet(src)
+    bench = str(d / "bench.parquet")
+    spark.createDataFrame(
+        [(900, "xxx one two three four five six yyy")], "doc_id long, text string"
+    ).write.parquet(bench)
+    return str(d), src, bench
+
+
+def test_curation_job_end_to_end(spark, corpus_dir, monkeypatch, capsys):
+    d, src, bench = corpus_dir
+    out = os.path.join(d, "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py",
+            "--source", src,
+            "--out", out,
+            "--benchmark", bench,
+            "--ngram", "5",
+            "--mixture-budget", "500",
+            "--max-epochs", "2",
+            "--pack-budget", "8",
+            "--pack-shards", "2",
+            "--materialize",
+        ],
+    )
+    run_curation.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    dedup = spark.read.parquet(report["exact_dedup"])
+    assert dedup.count() == 6  # 7 rows, one exact duplicate collapsed
+    assert dedup.filter("doc_id = 1").count() == 0  # min-id representative kept
+
+    decon = spark.read.parquet(report["decontaminated"])
+    assert decon.count() == 5  # the benchmark-overlapping doc dropped
+    assert decon.filter("text like 'one two%'").count() == 0
+
+    prof = spark.read.parquet(report["profile"])
+    assert {r["lang"] for r in prof.collect()} == {"en", "de", "es"}
+
+    plan = spark.read.parquet(report["mixture_plan"])
+    assert plan.count() == 3
+    copies = spark.read.parquet(report["copies"])
+    assert copies.count() >= 5  # every surviving doc appears >= once
+    assert "text" in copies.columns and "lang" in copies.columns
+
+    packing = spark.read.parquet(report["packing"])
+    assert packing.count() == copies.count()
+    seqs = spark.read.parquet(report["sequences"])
+    # token conservation through the whole chain: 6 tokens per copy
+    assert (
+        sum(r["n_tokens"] for r in seqs.collect())
+        == copies.count() * 6
+    )
+
+    # resume: rerunning reuses completed outputs (no overwrite errors)
+    run_curation.main()
+    assert spark.read.parquet(report["exact_dedup"]).count() == 6
