@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (41/41) — including the model/LSH stages, re-derived in SQL
+EVERY query (42/42) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2103,6 +2103,64 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def _q_mask_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style repeated-span removal (Lee et al. 2022 semantics
+    on word 8-grams): every token covered by an 8-gram occurring in >= 2
+    distinct documents is deleted and the document reassembled from the
+    survivors.  Overlapping duplicated grams merge into one deleted
+    span, so any shared run of >= 8 tokens vanishes in full.  Returns
+    the rewritten text hashed plus the per-document removal count."""
+    from language_identification_spark.operators.spandedup import (
+        remove_repeated_spans,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return remove_repeated_spans(docs, n=8, min_docs=2).select(
+        "doc_id",
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("clean_sha256"),
+        "n_tokens_removed",
+    )
+
+
+# Spark keys gram identity on xxhash64(gram); the oracle joins on the
+# gram STRING — identical output unless a 64-bit collision occurs
+# (documented trade in operators/spandedup.py).  Coverage is the
+# NOT-EXISTS over marked start positions; string_agg(... ORDER BY j)
+# mirrors Spark's order-preserving array reassembly.
+_SQL_MASK_REPEATED_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+),
+posting AS (
+  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+  FROM toks, LATERAL unnest(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+),
+dup AS (
+  SELECT gram FROM posting GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT DISTINCT p.doc_id, p.i FROM posting p JOIN dup USING (gram)
+),
+tok_rows AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS j
+  FROM toks
+),
+kept AS (
+  SELECT r.doc_id, r.tok, r.j FROM tok_rows r
+  WHERE NOT EXISTS (SELECT 1 FROM marked m
+                    WHERE m.doc_id = r.doc_id AND m.i <= r.j AND r.j < m.i + 8)
+)
+SELECT t.doc_id,
+       sha256(coalesce((SELECT string_agg(k.tok, ' ' ORDER BY k.j)
+                        FROM kept k WHERE k.doc_id = t.doc_id), ''))
+         AS clean_sha256,
+       CAST(len(t.t) - coalesce((SELECT count(*) FROM kept k
+                                 WHERE k.doc_id = t.doc_id), 0) AS BIGINT)
+         AS n_tokens_removed
+FROM toks t
+"""
+
+
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count profile (count, total, mean, p50/p95) in
     one grouped aggregation.  exact=True here because the oracle audits
@@ -2341,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "range_pruned_scan": _q_range_pruned_scan,
         "dedup_lines": _q_dedup_lines,
+        "mask_repeated_spans": _q_mask_repeated_spans,
         "corpus_profile": _q_corpus_profile,
         "pack_sequences": _q_pack_sequences,
         "packed_sequences": _q_packed_sequences,
@@ -2387,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _SQL_BM25_TOPK,
         "range_pruned_scan": _SQL_RANGE_PRUNED_SCAN,
         "dedup_lines": _SQL_DEDUP_LINES,
+        "mask_repeated_spans": _SQL_MASK_REPEATED_SPANS,
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "packed_sequences": _SQL_PACKED_SEQUENCES,

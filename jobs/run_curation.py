@@ -10,7 +10,7 @@ pre-training data run actually executes over a document lake:
         [--rates '{"en": 0.35, "de": 1.0}' --default-rate 0.1]
         [--mixture-budget 1000000000 --alpha 0.5 --max-epochs 4]
         [--pack-budget 2048 --pack-shards 1024]
-        [--line-dedup] [--materialize]
+        [--line-dedup] [--span-dedup 8] [--materialize]
 
 Stages (each optional stage is skipped unless its flag is given; every
 stage reads the previous stage's parquet, so a failed run resumes by
@@ -19,6 +19,8 @@ re-submitting — completed stage outputs are detected and reused):
 1. **exact dedup** — first doc per sha256(content) survives.
 2. **line dedup** (``--line-dedup``) — C4/RefinedWeb-style cross-corpus
    repeated-line removal.
+2b. **span dedup** (``--span-dedup N``) — ExactSubstr-style rewrite
+   deleting cross-doc repeated word N-gram spans.
 3. **decontamination** (``--benchmark``) — drop docs sharing a word
    13-gram with the held-out set (GPT-3 appendix C semantics).
 4. **stratified sampling** (``--rates``) — deterministic sha256-bucket
@@ -70,6 +72,9 @@ def main() -> None:
                     help='JSON stratum->rate map, e.g. \'{"en": 0.35}\'')
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--line-dedup", action="store_true")
+    ap.add_argument("--span-dedup", type=int, default=None, metavar="N",
+                    help="remove cross-doc repeated word N-gram spans "
+                    "(ExactSubstr-style rewrite)")
     ap.add_argument("--mixture-budget", type=int, default=None,
                     help="token budget for the temperature mixture")
     ap.add_argument("--alpha", type=float, default=0.5)
@@ -133,6 +138,21 @@ def main() -> None:
             lambda df: dedup_lines(df, text_col=args.text_col, id_col=args.id_col)
             .select(args.id_col, args.text_col)
             .join(df.drop(args.text_col), args.id_col),
+        )
+
+    if args.span_dedup:
+        from language_identification_spark.operators.spandedup import (
+            remove_repeated_spans,
+        )
+
+        # rewrite keeps every metadata column; the removal count is a
+        # per-stage diagnostic, not corpus schema — drop it for handoff
+        stage(
+            "span_dedup",
+            lambda df: remove_repeated_spans(
+                df, n=args.span_dedup,
+                text_col=args.text_col, id_col=args.id_col,
+            ).drop("n_tokens_removed"),
         )
 
     if args.benchmark:

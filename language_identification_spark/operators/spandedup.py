@@ -1,0 +1,181 @@
+"""Cross-document repeated-SPAN removal — ExactSubstr-style dedup.
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") showed that removing repeated *substrings* — not just whole
+duplicate documents — measurably improves LMs: boilerplate, quoted
+passages, and templated fragments recur verbatim across millions of
+pages while the surrounding documents differ.  Their suffix-array
+formulation is inherently single-machine; the distributed re-expression
+here keys on fixed-length word n-grams instead:
+
+* every word ``n``-gram occurring in ``min_docs`` or more DISTINCT
+  documents is "duplicated";
+* every token covered by at least one duplicated n-gram is deleted;
+* documents are reassembled from their surviving tokens in order.
+
+Because two overlapping duplicated n-grams merge into one longer
+deleted span, any shared substring of >= n tokens is removed in full —
+the same guarantee the winnowing fingerprints in ``operators/dedup.py``
+give for *detection*, applied here to *rewriting*.  This completes the
+dedup ladder: exact document (``dedup.exact_dedup``), exact line
+(``linededup``), repeated span (here), near-duplicate (MinHash /
+SimHash / winnowing pairs), semantic (``similarity.semantic_dedup``).
+
+Spark-first shape, and why it survives 100 TB:
+
+* The posting list shuffles ``(xxhash64(gram), doc_id, pos)`` — a
+  64-bit key plus two ints per gram, never the gram text and never the
+  document.  Frequency counting is ``groupBy(hash).agg(countDistinct)``
+  with map-side partial aggregation, so a boilerplate gram repeated a
+  billion times contributes one partial row per task, not a billion
+  shuffle rows.
+* The posting-to-duplicated-grams join is an equi-join on the 64-bit
+  hash; its skew (the same boilerplate gram) is exactly the shape AQE's
+  skew-join split handles, and only (doc_id, pos) pairs come out of it.
+* Marked positions collapse to ONE array per affected document
+  (``collect_set`` bounded by tokens-per-document), and the rewrite is
+  a single left join of the corpus against that small table followed by
+  pure-Catalyst array expressions (sort -> interval-merge -> filter) —
+  document content crosses the wire once, in the final join, and never
+  enters a Python UDF.
+* Per-document work is O(T·I) for T tokens and I merged intervals —
+  intervals, not raw marks, so a document drowning in boilerplate costs
+  its interval count, not its duplicate count.
+
+Keying on ``xxhash64`` means two DIFFERENT n-grams colliding in 64 bits
+would wrongly mark a span — odds ~n²/2⁶⁵ (same documented trade as
+``linededup`` and ``decontaminate``; swap in ``sha2`` if unacceptable).
+
+No reference analog: the reference engine has no corpus-level text ops;
+this module is part of the LLM-training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str) -> Column:
+    # literal single-space split, matching string_split(text, ' ') in
+    # ANSI SQL engines: keeps empty tokens, never returns an empty array
+    return F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+
+
+def mark_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Find the duplicated-gram start positions per document.
+
+    Returns ``(id_col, starts)`` — only for documents containing at
+    least one duplicated gram — where ``starts`` is the set of 1-based
+    token indices at which a word ``n``-gram duplicated across
+    ``min_docs``+ distinct documents begins.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = docs.select(F.col(id_col), _tokens(text_col).alias("_t"))
+    # sequence(1, stop) DESCENDS when stop < 1 — guard short docs to an
+    # explicit empty gram list instead
+    gram_hashes = F.when(
+        F.size("_t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i, n))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    posting = toks.select(
+        F.col(id_col), F.posexplode(gram_hashes).alias("_p0", "_g")
+    ).select(id_col, (F.col("_p0") + 1).alias("_i"), "_g")
+    dup = (
+        posting.groupBy("_g")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    return (
+        posting.join(dup, "_g")
+        .groupBy(id_col)
+        .agg(F.collect_set("_i").alias("starts"))
+    )
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite the corpus with cross-document repeated spans deleted.
+
+    Returns ``docs`` with ``text_col`` replaced by the reassembled
+    surviving tokens (single-space joined; a fully-duplicated document
+    comes back as the empty string, the caller's min-length filter's
+    job to drop) plus ``n_tokens_removed``.  Other columns pass through.
+    """
+    marked = mark_repeated_spans(docs, n, min_docs, text_col, id_col)
+    empty_starts = F.expr("CAST(array() AS array<int>)")
+    empty_ivs = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    staged = (
+        docs.join(marked, id_col, "left")
+        .withColumn("_t", _tokens(text_col))
+        .withColumn(
+            "_starts", F.array_sort(F.coalesce(F.col("starts"), empty_starts))
+        )
+        # sorted starts -> disjoint half-open [s, e) intervals; each gram
+        # covers [x, x+n), and sorted adjacency means overlap iff
+        # last.e >= x, so the merge is a single left fold
+        .withColumn(
+            "_iv",
+            F.aggregate(
+                "_starts",
+                empty_ivs,
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0) & (F.element_at(acc, -1)["e"] >= x),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                (x + n).alias("e"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc, F.array(F.struct(x.alias("s"), (x + n).alias("e")))
+                    )
+                ),
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.filter(
+                F.zip_with(
+                    "_t",
+                    F.sequence(F.lit(1), F.size("_t")),
+                    lambda t, i: F.struct(t.alias("tok"), i.alias("idx")),
+                ),
+                lambda x: ~F.exists(
+                    F.col("_iv"),
+                    lambda iv: (iv["s"] <= x["idx"]) & (x["idx"] < iv["e"]),
+                ),
+            ),
+        )
+    )
+    return staged.select(
+        *[c for c in docs.columns if c != text_col],
+        F.array_join(
+            F.transform("_kept", lambda x: x["tok"]), " "
+        ).alias(text_col),
+        (F.size("_t") - F.size("_kept")).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )

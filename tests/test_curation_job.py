@@ -96,3 +96,39 @@ def test_curation_job_end_to_end(spark, corpus_dir, monkeypatch, capsys):
     # resume: rerunning reuses completed outputs (no overwrite errors)
     run_curation.main()
     assert spark.read.parquet(report["exact_dedup"]).count() == 6
+
+
+def test_curation_job_span_dedup_stage(spark, tmp_path, monkeypatch, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "pad1 s1 s2 s3 s4 s5", "en"),
+            (2, "pad2 s1 s2 s3 s4 s5", "en"),
+            (3, "solo a b c d e", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_curation.py", "--source", src, "--out", out, "--span-dedup", "5"],
+    )
+    run_curation.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    span = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(report["span_dedup"]).collect()
+    }
+    # the shared 5-gram vanished from both docs; the unique doc is intact
+    assert span == {1: "pad1", 2: "pad2", 3: "solo a b c d e"}
+    assert "n_tokens_removed" not in spark.read.parquet(
+        report["span_dedup"]
+    ).columns
+    assert {"doc_id", "text", "lang"} <= set(
+        spark.read.parquet(report["span_dedup"]).columns
+    )

@@ -1,0 +1,126 @@
+"""Repeated-span removal (operators/spandedup.py).
+
+Planted corpora with hand-computed expectations: exact n-gram sharing,
+overlap merging into one longer deleted span, within-doc-only repeats
+surviving, the min_docs threshold, short/NULL/empty documents, and
+metadata pass-through."""
+
+from __future__ import annotations
+
+import pytest
+
+from language_identification_spark.operators.spandedup import (
+    mark_repeated_spans,
+    remove_repeated_spans,
+)
+
+
+def _toks(i: int, k: int) -> str:
+    return " ".join(f"w{j}" for j in range(i, i + k))
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    # shared = a 10-token run present in docs 1 and 2 (same tokens,
+    # different positions); doc 3 repeats a 4-gram internally only;
+    # doc 4 is shorter than n; doc 5 is NULL text
+    shared = _toks(100, 10)
+    rows = [
+        (1, f"{_toks(0, 5)} {shared} {_toks(50, 5)}"),
+        (2, f"{shared} {_toks(60, 8)}"),
+        (3, "a b c d x a b c d y a b c d"),
+        (4, "tiny doc"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shared_run_removed_in_full(spark, planted):
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(planted, n=4, min_docs=2).collect()
+    }
+    # the 10-token shared run is 7 overlapping duplicated 4-grams that
+    # must merge into ONE deleted span covering all 10 tokens
+    assert out[1]["text"] == f"{_toks(0, 5)} {_toks(50, 5)}"
+    assert out[1]["n_tokens_removed"] == 10
+    assert out[2]["text"] == _toks(60, 8)
+    assert out[2]["n_tokens_removed"] == 10
+
+
+def test_within_doc_repeat_survives(spark, planted):
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(planted, n=4, min_docs=2).collect()
+    }
+    # "a b c d" recurs 3x but only inside doc 3 — min_docs counts
+    # DISTINCT documents, so nothing is removed
+    assert out[3]["text"] == "a b c d x a b c d y a b c d"
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_short_and_null_docs_pass_through(spark, planted):
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_spans(planted, n=4, min_docs=2).collect()
+    }
+    assert out[4]["text"] == "tiny doc"
+    assert out[4]["n_tokens_removed"] == 0
+    assert out[5]["text"] == ""  # NULL coalesces to empty, survives
+    assert out[5]["n_tokens_removed"] == 0
+
+
+def test_min_docs_threshold(spark):
+    gram = "p q r s"
+    docs = spark.createDataFrame(
+        [(i, f"u{i} {gram} v{i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    # present in 3 docs: survives min_docs=4, dies at min_docs=3
+    kept = remove_repeated_spans(docs, n=4, min_docs=4).collect()
+    assert all(r["n_tokens_removed"] == 0 for r in kept)
+    gone = remove_repeated_spans(docs, n=4, min_docs=3).collect()
+    assert all(r["n_tokens_removed"] == 4 for r in gone)
+    assert sorted(r["text"] for r in gone) == [f"u{i} v{i}" for i in range(3)]
+
+
+def test_disjoint_spans_and_marks(spark):
+    # two separate shared 3-grams in one doc -> two disjoint intervals
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 x y z a2 a3 a4 p q r a5"),
+            (2, "x y z b1 b2 p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    marks = {
+        r["doc_id"]: sorted(r["starts"])
+        for r in mark_repeated_spans(docs, n=3, min_docs=2).collect()
+    }
+    assert marks[1] == [2, 8] and marks[2] == [1, 6]
+    out = {
+        r["doc_id"]: r for r in remove_repeated_spans(docs, n=3).collect()
+    }
+    assert out[1]["text"] == "a1 a2 a3 a4 a5"
+    assert out[1]["n_tokens_removed"] == 6
+    assert out[2]["text"] == "b1 b2"
+
+
+def test_fully_duplicated_doc_becomes_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "c1 c2 c3 c4"), (2, "c1 c2 c3 c4")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=4).collect()}
+    assert out[1]["text"] == "" and out[2]["text"] == ""
+    assert out[1]["n_tokens_removed"] == 4
+
+
+def test_metadata_passthrough_and_validation(spark, planted):
+    extra = planted.withColumn("lang", planted.doc_id.cast("string"))
+    out = remove_repeated_spans(extra, n=4)
+    assert set(out.columns) == {"doc_id", "lang", "text", "n_tokens_removed"}
+    assert out.count() == 5
+    with pytest.raises(ValueError):
+        remove_repeated_spans(planted, n=1)
+    with pytest.raises(ValueError):
+        remove_repeated_spans(planted, min_docs=1)
