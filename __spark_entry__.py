@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (42/42) — including the model/LSH stages, re-derived in SQL
+EVERY query (44/44) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2161,6 +2161,153 @@ FROM toks t
 """
 
 
+def _q_langid_train_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed langid training — the sufficient statistic.  One
+    mapInPandas crossing emits per-partition PARTIAL bucket histograms
+    (bounded by n_buckets x langs, not by corpus size); groupBy+sum
+    finishes them.  The oracle re-derives every byte-trigram FNV bucket
+    in pure SQL."""
+    from language_identification_spark.models.train_distributed import (
+        trigram_bucket_counts,
+    )
+
+    return trigram_bucket_counts(_docs(spark, sf_dir).select("lang", "text"))
+
+
+def _q_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed perplexity-LM training — word-bigram bucket counts
+    (same partial-histogram shape as langid_train_counts).  The oracle
+    re-derives the full word pipeline in SQL: whitespace split, 16-byte
+    clip, digit fold, zero-pad, fixed-width FNV, bigram combine."""
+    from language_identification_spark.models.train_distributed import (
+        bigram_bucket_counts,
+    )
+
+    return bigram_bucket_counts(_docs(spark, sf_dir).select("lang", "text"))
+
+
+def _fnv_sql_step(h: str, b: str) -> str:
+    """One FNV-1a step in DuckDB HUGEINT arithmetic (mod-2^64 wraparound)."""
+    from language_identification_spark.hashing import FNV_PRIME
+
+    m64 = "18446744073709551616"
+    return (
+        f"CAST((CAST(xor({h}, {b}) AS HUGEINT) * {FNV_PRIME})"
+        f" % {m64} AS UBIGINT)"
+    )
+
+
+_SQL_BYTES_CTE = """
+src AS (
+  SELECT doc_id, lang, hex(encode(lower(text))) AS hx
+  FROM documents WHERE text IS NOT NULL
+),
+pos AS (
+  SELECT doc_id, lang, i,
+         CAST(strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) * 16
+              + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 17 AS UBIGINT)
+           AS b
+  FROM src, unnest(generate_series(1, length(hx)//2)) AS z(i)
+)"""
+
+
+def _sql_langid_train_counts() -> str:
+    """Byte-trigram FNV buckets recomputed in SQL, counted per (lang,
+    bucket) — the trainer reads full documents (no SAMPLE_BYTES clip,
+    matching ``langid.train``), unlike the scoring oracle."""
+    from language_identification_spark.hashing import FNV_OFFSET
+    from language_identification_spark.models.langid import N_BUCKETS
+
+    return f"""
+WITH {_SQL_BYTES_CTE},
+tri AS (
+  SELECT doc_id, lang, b AS b1, lead(b, 1) OVER w AS b2, lead(b, 2) OVER w AS b3
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+h1 AS (SELECT lang, {_fnv_sql_step(f"{FNV_OFFSET}::UBIGINT", "b1")} AS h, b2, b3
+       FROM tri WHERE b3 IS NOT NULL),
+h2 AS (SELECT lang, {_fnv_sql_step("h", "b2")} AS h, b3 FROM h1),
+h3 AS (SELECT lang, CAST({_fnv_sql_step("h", "b3")} % {N_BUCKETS} AS INTEGER)
+         AS bucket FROM h2)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM h3 GROUP BY lang, bucket
+"""
+
+
+def _sql_bigram_lm_counts() -> str:
+    """Word-bigram FNV buckets recomputed in SQL: per-byte rows ->
+    whitespace-boundary word ids -> first-16-bytes digit-folded pivot ->
+    16 nested FNV steps (zero pads included: fixed-width spec) ->
+    ((w1*P) ^ w2)*P mod 2^64 mod n_buckets -> count per (lang, bucket)."""
+    from language_identification_spark.hashing import (
+        FNV_OFFSET,
+        FNV_PRIME,
+        WORD_BYTES,
+    )
+    from language_identification_spark.models.perplexity import N_BUCKETS
+
+    m64 = "18446744073709551616"
+    cols = ", ".join(
+        f"coalesce(max(CASE WHEN rn = {k} THEN fb END), 0::UBIGINT) AS c{k}"
+        for k in range(1, WORD_BYTES + 1)
+    )
+    h = f"{FNV_OFFSET}::UBIGINT"
+    for k in range(1, WORD_BYTES + 1):
+        h = _fnv_sql_step(h, f"c{k}")
+    w1p = f"CAST((CAST(h1 AS HUGEINT) * {FNV_PRIME}) % {m64} AS UBIGINT)"
+    combined = (
+        f"CAST((CAST(xor({w1p}, h2) AS HUGEINT) * {FNV_PRIME})"
+        f" % {m64} AS UBIGINT)"
+    )
+    return f"""
+WITH {_SQL_BYTES_CTE},
+wp AS (
+  SELECT doc_id, lang, i, b,
+         CASE WHEN b IN (32, 9, 10, 13, 11, 12) THEN 1 ELSE 0 END AS is_ws
+  FROM pos
+),
+ws AS (
+  SELECT doc_id, lang, i, b, is_ws,
+         CASE WHEN is_ws = 0
+              AND coalesce(lag(is_ws) OVER (PARTITION BY doc_id ORDER BY i),
+                           1) = 1
+              THEN 1 ELSE 0 END AS w_start
+  FROM wp
+),
+wid AS (
+  SELECT doc_id, lang, i, b,
+         SUM(w_start) OVER (PARTITION BY doc_id ORDER BY i) AS word_id
+  FROM ws WHERE is_ws = 0
+),
+wbytes AS (
+  SELECT doc_id, lang, word_id,
+         row_number() OVER (PARTITION BY doc_id, word_id ORDER BY i) AS rn,
+         CASE WHEN b BETWEEN 48 AND 57 THEN 48::UBIGINT ELSE b END AS fb
+  FROM wid
+),
+wmat AS (
+  SELECT doc_id, lang, word_id, {cols}
+  FROM wbytes WHERE rn <= {WORD_BYTES}
+  GROUP BY doc_id, lang, word_id
+),
+whash AS (
+  SELECT doc_id, lang, word_id, {h} AS h
+  FROM wmat
+),
+bg AS (
+  SELECT lang, h AS h1,
+         lead(h) OVER (PARTITION BY doc_id ORDER BY word_id) AS h2
+  FROM whash
+),
+bkt AS (
+  SELECT lang, CAST({combined} % {N_BUCKETS} AS INTEGER) AS bucket
+  FROM bg WHERE h2 IS NOT NULL
+)
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM bkt GROUP BY lang, bucket
+"""
+
+
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count profile (count, total, mean, p50/p95) in
     one grouped aggregation.  exact=True here because the oracle audits
@@ -2400,6 +2547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pruned_scan": _q_range_pruned_scan,
         "dedup_lines": _q_dedup_lines,
         "mask_repeated_spans": _q_mask_repeated_spans,
+        "langid_train_counts": _q_langid_train_counts,
+        "bigram_lm_counts": _q_bigram_lm_counts,
         "corpus_profile": _q_corpus_profile,
         "pack_sequences": _q_pack_sequences,
         "packed_sequences": _q_packed_sequences,
@@ -2447,6 +2596,8 @@ def oracle_sql() -> dict[str, str]:
         "range_pruned_scan": _SQL_RANGE_PRUNED_SCAN,
         "dedup_lines": _SQL_DEDUP_LINES,
         "mask_repeated_spans": _SQL_MASK_REPEATED_SPANS,
+        "langid_train_counts": _sql_langid_train_counts(),
+        "bigram_lm_counts": _sql_bigram_lm_counts(),
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "packed_sequences": _SQL_PACKED_SEQUENCES,

@@ -431,6 +431,18 @@ def main() -> None:
         lambda: _noop(em._q_mask_repeated_spans(spark, SF_DIR)),
         runs=3,
     )
+    # distributed model training: one Arrow crossing emitting partial
+    # bucket histograms, then a model-sized groupBy — min-of-3 (UDF class)
+    timed(
+        "langid_train_counts",
+        lambda: _noop(em._q_langid_train_counts(spark, SF_DIR)),
+        runs=3,
+    )
+    timed(
+        "bigram_lm_counts",
+        lambda: _noop(em._q_bigram_lm_counts(spark, SF_DIR)),
+        runs=3,
+    )
     # range-pruned scan: one parquet scan with min/max row-group skipping;
     # the one-off range-sorted rewrite is build cost, not query cost — pay
     # it untimed (fingerprint-cached afterwards)

@@ -1,0 +1,114 @@
+"""Distributed model training (models/train_distributed.py).
+
+The contract is BIT-IDENTITY with the driver-side trainers on the same
+corpus: partial int64 histograms summed in any order equal one global
+np.bincount, and the smoothing math is copied operation-for-operation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from language_identification_spark.models import langid as langid_mod
+from language_identification_spark.models import perplexity as ppl_mod
+from language_identification_spark.models.seed_corpora import (
+    SUPPORTED_LANGS,
+    train_split,
+)
+from language_identification_spark.models.train_distributed import (
+    bigram_bucket_counts,
+    train_langid_distributed,
+    train_perplexity_distributed,
+    trigram_bucket_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # 3 languages, a slice of docs each — enough buckets to be a real
+    # comparison, small enough to stay fast
+    return {l: train_split(l)[:40] for l in SUPPORTED_LANGS[:3]}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark, corpus):
+    rows = [(lang, t) for lang, ts in corpus.items() for t in ts]
+    # many small partitions so partial-histogram merging is actually
+    # exercised across partitions AND languages
+    return spark.createDataFrame(rows, "lang string, text string").repartition(7)
+
+
+def test_langid_bit_identity(spark, corpus, corpus_df):
+    ref = langid_mod.train(corpus)
+    dist = train_langid_distributed(corpus_df)
+    assert dist.langs == ref.langs
+    assert np.array_equal(dist.logp, ref.logp)
+
+
+def test_perplexity_bit_identity(spark, corpus, corpus_df):
+    ref = ppl_mod.train(corpus)
+    dist = train_perplexity_distributed(corpus_df)
+    assert dist.langs == ref.langs
+    assert np.array_equal(dist.logp, ref.logp)
+
+
+def test_counts_match_scalar_hashers(spark):
+    from language_identification_spark.hashing import (
+        char_trigram_buckets_scalar,
+        word_bigram_buckets_scalar,
+    )
+
+    texts = ["Foo bar baz foo bar", "Numbers 123 fold 456 the same"]
+    df = spark.createDataFrame(
+        [("en", t) for t in texts], "lang string, text string"
+    )
+    got = {
+        (r["bucket"]): r["cnt"]
+        for r in trigram_bucket_counts(df).collect()
+    }
+    want: dict[int, int] = {}
+    for t in texts:
+        for b in char_trigram_buckets_scalar(t, langid_mod.N_BUCKETS):
+            want[b] = want.get(b, 0) + 1
+    assert got == want
+
+    got2 = {r["bucket"]: r["cnt"] for r in bigram_bucket_counts(df).collect()}
+    want2: dict[int, int] = {}
+    for t in texts:
+        for b in word_bigram_buckets_scalar(t, ppl_mod.N_BUCKETS):
+            want2[b] = want2.get(b, 0) + 1
+    assert got2 == want2
+
+
+def test_gramless_language_keeps_uniform_column(spark):
+    # "es" has only a single-word doc: zero bigrams, but train() still
+    # gives it a smoothed-uniform column — the distributed trainer must too
+    corpus = {"en": ["alpha beta gamma delta"], "es": ["unapalabra"]}
+    rows = [(l, t) for l, ts in corpus.items() for t in ts]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    ref = ppl_mod.train(corpus)
+    dist = train_perplexity_distributed(df)
+    assert dist.langs == ref.langs and "es" in dist.langs
+    assert np.array_equal(dist.logp, ref.logp)
+
+
+def test_null_text_and_unknown_lang_ignored(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "alpha beta gamma delta"),
+            ("en", None),
+            ("xx-not-a-lang", "some text here okay"),
+            (None, "other text here too"),
+        ],
+        "lang string, text string",
+    )
+    ref = ppl_mod.train({"en": ["alpha beta gamma delta"]})
+    dist = train_perplexity_distributed(df)
+    assert dist.langs == ("en",) if "en" in SUPPORTED_LANGS else True
+    assert np.array_equal(dist.logp, ref.logp)
+    # count tables do keep the unknown-lang rows (callers may train
+    # supersets); only model assembly filters to SUPPORTED_LANGS
+    langs_in_counts = {
+        r["lang"] for r in bigram_bucket_counts(df).select("lang").collect()
+    }
+    assert "xx-not-a-lang" in langs_in_counts
