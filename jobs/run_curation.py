@@ -146,12 +146,15 @@ def main() -> None:
         )
 
         # rewrite keeps every metadata column; the removal count is a
-        # per-stage diagnostic, not corpus schema — drop it for handoff
+        # per-stage diagnostic, not corpus schema — drop it for handoff.
+        # The gram posting list is staged to parquet (cluster-safe lineage
+        # cut; see mark_repeated_spans docstring)
         stage(
             "span_dedup",
             lambda df: remove_repeated_spans(
                 df, n=args.span_dedup,
                 text_col=args.text_col, id_col=args.id_col,
+                staging_path=os.path.join(args.out, "_span_posting"),
             ).drop("n_tokens_removed"),
         )
 

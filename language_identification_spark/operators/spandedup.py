@@ -68,6 +68,7 @@ def mark_repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    staging_path: str | None = None,
 ) -> DataFrame:
     """Find the duplicated-gram start positions per document.
 
@@ -75,6 +76,15 @@ def mark_repeated_spans(
     least one duplicated gram — where ``starts`` is the set of 1-based
     token indices at which a word ``n``-gram duplicated across
     ``min_docs``+ distinct documents begins.
+
+    The posting list feeds both the duplicated-gram aggregation and the
+    join probe; without ``staging_path`` the tokenize+hash explode runs
+    twice (Catalyst replays the lineage per consumer).  Pass a
+    ``staging_path`` to materialize it once as parquet — the cluster
+    default (``jobs/run_curation.py`` wires it): postings are three
+    fixed-width values per gram, far smaller than re-reading and
+    re-exploding the corpus, and a parquet round-trip is replicated
+    storage, unlike ``localCheckpoint``.
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
@@ -93,6 +103,9 @@ def mark_repeated_spans(
     posting = toks.select(
         F.col(id_col), F.posexplode(gram_hashes).alias("_p0", "_g")
     ).select(id_col, (F.col("_p0") + 1).alias("_i"), "_g")
+    if staging_path is not None:
+        posting.write.mode("overwrite").parquet(staging_path)
+        posting = docs.sparkSession.read.parquet(staging_path)
     dup = (
         posting.groupBy("_g")
         .agg(F.countDistinct(id_col).alias("_nd"))
@@ -112,6 +125,7 @@ def remove_repeated_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    staging_path: str | None = None,
 ) -> DataFrame:
     """Rewrite the corpus with cross-document repeated spans deleted.
 
@@ -120,7 +134,9 @@ def remove_repeated_spans(
     comes back as the empty string, the caller's min-length filter's
     job to drop) plus ``n_tokens_removed``.  Other columns pass through.
     """
-    marked = mark_repeated_spans(docs, n, min_docs, text_col, id_col)
+    marked = mark_repeated_spans(
+        docs, n, min_docs, text_col, id_col, staging_path
+    )
     empty_starts = F.expr("CAST(array() AS array<int>)")
     empty_ivs = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
     staged = (

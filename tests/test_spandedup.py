@@ -115,6 +115,17 @@ def test_fully_duplicated_doc_becomes_empty(spark):
     assert out[1]["n_tokens_removed"] == 4
 
 
+def test_staging_path_same_result(spark, planted, tmp_path):
+    staged = remove_repeated_spans(
+        planted, n=4, staging_path=str(tmp_path / "posting")
+    )
+    inline = remove_repeated_spans(planted, n=4)
+    assert sorted(map(tuple, staged.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    assert (tmp_path / "posting" / "_SUCCESS").exists()
+
+
 def test_metadata_passthrough_and_validation(spark, planted):
     extra = planted.withColumn("lang", planted.doc_id.cast("string"))
     out = remove_repeated_spans(extra, n=4)
