@@ -153,31 +153,37 @@ def remove_repeated_spans(
         .withColumn(
             "_starts", F.array_sort(F.coalesce(F.col("starts"), empty_starts))
         )
-        # sorted starts -> disjoint half-open [s, e) intervals; each gram
-        # covers [x, x+n), and sorted adjacency means overlap iff
-        # last.e >= x, so the merge is a single left fold
+        # sorted starts -> disjoint half-open [s, e) intervals.  Every
+        # gram covers exactly [x, x+n), so with ascending starts a new
+        # merged interval begins at start k iff starts[k] - starts[k-1]
+        # > n — group breaks are PAIRWISE, which makes the merge linear
+        # (filter + zip_with) instead of a fold that rebuilds its
+        # accumulator array per start (quadratic when a boilerplate-heavy
+        # document carries thousands of disjoint duplicated spans)
+        .withColumn(
+            "_bk",
+            F.when(
+                F.size("_starts") > 0,
+                F.expr(
+                    "filter(sequence(1, size(_starts)), k -> k = 1"
+                    " OR element_at(_starts, k)"
+                    f" - element_at(_starts, k - 1) > {n})"
+                ),
+            ).otherwise(F.expr("CAST(array() AS array<int>)")),
+        )
         .withColumn(
             "_iv",
-            F.aggregate(
-                "_starts",
-                empty_ivs,
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0) & (F.element_at(acc, -1)["e"] >= x),
-                    F.concat(
-                        F.slice(acc, F.lit(1), F.size(acc) - 1),
-                        F.array(
-                            F.struct(
-                                F.element_at(acc, -1)["s"].alias("s"),
-                                (x + n).alias("e"),
-                            )
-                        ),
-                    ),
-                ).otherwise(
-                    F.concat(
-                        acc, F.array(F.struct(x.alias("s"), (x + n).alias("e")))
-                    )
+            F.when(
+                F.size("_bk") > 0,
+                F.expr(
+                    "zip_with(_bk,"
+                    " concat(slice(_bk, 2, size(_bk) - 1),"
+                    "        array(size(_starts) + 1)),"
+                    " (b, nb) -> named_struct("
+                    "   's', element_at(_starts, b),"
+                    f"  'e', element_at(_starts, nb - 1) + {n}))"
                 ),
-            ),
+            ).otherwise(empty_ivs),
         )
         .withColumn(
             "_kept",

@@ -115,6 +115,21 @@ def test_fully_duplicated_doc_becomes_empty(spark):
     assert out[1]["n_tokens_removed"] == 4
 
 
+def test_many_disjoint_spans(spark):
+    # 60 disjoint duplicated 3-grams inside one big doc — exercises the
+    # linear break/zip interval construction on a long starts array
+    grams = [f"g{i}a g{i}b g{i}c" for i in range(60)]
+    big = " ".join(f"{g} u{i}" for i, g in enumerate(grams))  # 240 tokens
+    other = " ".join(grams)  # shares every gram, all adjacent
+    docs = spark.createDataFrame(
+        [(1, big), (2, other)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=3).collect()}
+    assert out[1]["text"] == " ".join(f"u{i}" for i in range(60))
+    assert out[1]["n_tokens_removed"] == 180
+    assert out[2]["text"] == "" and out[2]["n_tokens_removed"] == 180
+
+
 def test_staging_path_same_result(spark, planted, tmp_path):
     staged = remove_repeated_spans(
         planted, n=4, staging_path=str(tmp_path / "posting")
