@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (44/44) — including the model/LSH stages, re-derived in SQL
+EVERY query (45/45) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2308,6 +2308,73 @@ FROM bkt GROUP BY lang, bucket
 """
 
 
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-gate calibration in one corpus scan: confusion matrix
+    + precision/recall/F1 (x1000) at every 25-milli langid-confidence
+    cutoff, with 'detected == declared' as the ground truth.  Data-sized
+    work is one groupBy(cell); the sweep itself is cumulative sums over
+    the 41-row grid.  The oracle re-derives the scoring (full SQL langid)
+    AND the sweep independently."""
+    from language_identification_spark.operators.calibration import (
+        threshold_sweep,
+    )
+    from language_identification_spark.plans.pipeline import analyze_udf
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "lang", analyze_udf(F.col("text"), F.lit(True)).alias("nlp")
+    ).select(
+        F.round(F.col("nlp.confidence") * 1000).cast("long").alias("conf"),
+        (F.col("nlp.detected_lang") == F.col("lang")).alias("match"),
+    )
+    return threshold_sweep(scored, "conf", "match", step_milli=25)
+
+
+def _sql_threshold_sweep() -> str:
+    """The sweep math over the langid oracle's per-doc scores: integer
+    cell bucketing, grid left-join, descending cumulative sums, x1000
+    rounded ratios — all integer-exact across engines."""
+    return f"""
+WITH cells AS (
+  SELECT CAST((confidence_milli // 25) * 25 AS BIGINT) AS cell,
+         CASE WHEN detected_lang = lang THEN 1 ELSE 0 END AS y
+  FROM ({_sql_langid()}) scored
+),
+agg AS (
+  SELECT cell, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM cells GROUP BY cell
+),
+grid AS (
+  SELECT CAST(g AS BIGINT) AS threshold_milli
+  FROM generate_series(0, 1000, 25) t(g)
+),
+cum AS (
+  SELECT threshold_milli,
+         SUM(coalesce(pos, 0)) OVER (ORDER BY threshold_milli DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(coalesce(neg, 0)) OVER (ORDER BY threshold_milli DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+  FROM grid LEFT JOIN agg ON agg.cell = grid.threshold_milli
+),
+tot AS (SELECT SUM(y) AS tpos, COUNT(*) - SUM(y) AS tneg FROM cells)
+SELECT threshold_milli,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(fp AS BIGINT) AS fp,
+       CAST(tpos - tp AS BIGINT) AS fn,
+       CAST(tneg - fp AS BIGINT) AS tn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+                 ELSE round(1000.0 * tp / (tp + fp)) END AS BIGINT)
+         AS precision_milli,
+       CAST(CASE WHEN tpos = 0 THEN 0
+                 ELSE round(1000.0 * tp / tpos) END AS BIGINT)
+         AS recall_milli,
+       CAST(CASE WHEN 2 * tp + fp + (tpos - tp) = 0 THEN 0
+                 ELSE round(1000.0 * 2 * tp / (2 * tp + fp + (tpos - tp)))
+            END AS BIGINT) AS f1_milli
+FROM cum, tot
+"""
+
+
 def _q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count profile (count, total, mean, p50/p95) in
     one grouped aggregation.  exact=True here because the oracle audits
@@ -2549,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_repeated_spans": _q_mask_repeated_spans,
         "langid_train_counts": _q_langid_train_counts,
         "bigram_lm_counts": _q_bigram_lm_counts,
+        "threshold_sweep": _q_threshold_sweep,
         "corpus_profile": _q_corpus_profile,
         "pack_sequences": _q_pack_sequences,
         "packed_sequences": _q_packed_sequences,
@@ -2598,6 +2666,7 @@ def oracle_sql() -> dict[str, str]:
         "mask_repeated_spans": _SQL_MASK_REPEATED_SPANS,
         "langid_train_counts": _sql_langid_train_counts(),
         "bigram_lm_counts": _sql_bigram_lm_counts(),
+        "threshold_sweep": _sql_threshold_sweep(),
         "corpus_profile": _SQL_CORPUS_PROFILE,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "packed_sequences": _SQL_PACKED_SEQUENCES,

@@ -443,6 +443,12 @@ def main() -> None:
         lambda: _noop(em._q_bigram_lm_counts(spark, SF_DIR)),
         runs=3,
     )
+    # one analyze_udf scan + grid-sized windows — min-of-3 (UDF class)
+    timed(
+        "threshold_sweep",
+        lambda: _noop(em._q_threshold_sweep(spark, SF_DIR)),
+        runs=3,
+    )
     # range-pruned scan: one parquet scan with min/max row-group skipping;
     # the one-off range-sorted rewrite is build cost, not query cost — pay
     # it untimed (fingerprint-cached afterwards)

@@ -1,0 +1,72 @@
+"""Threshold sweep (operators/calibration.py) vs hand-computed confusion."""
+
+from __future__ import annotations
+
+import pytest
+
+from language_identification_spark.operators.calibration import threshold_sweep
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # (score_milli, label): chosen so several grid cells are empty and
+    # both classes straddle the cutoffs
+    rows = [
+        (1000, True),
+        (980, True),
+        (960, False),
+        (700, True),
+        (700, False),
+        (500, False),
+        (30, True),
+        (0, False),
+    ]
+    return spark.createDataFrame(rows, "conf long, match boolean")
+
+
+def _expect(rows, t):
+    tp = sum(1 for s, y in rows if s >= t and y)
+    fp = sum(1 for s, y in rows if s >= t and not y)
+    fn = sum(1 for s, y in rows if s < t and y)
+    tn = sum(1 for s, y in rows if s < t and not y)
+    return tp, fp, fn, tn
+
+
+def test_sweep_matches_bruteforce(spark, scored):
+    rows = [(r["conf"], r["match"]) for r in scored.collect()]
+    out = {r["threshold_milli"]: r for r in threshold_sweep(
+        scored, "conf", "match", step_milli=25).collect()}
+    assert set(out) == set(range(0, 1001, 25))
+    for t, r in out.items():
+        tp, fp, fn, tn = _expect(rows, t)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), t
+        prec = round(1000 * tp / (tp + fp)) if tp + fp else 0
+        rec = round(1000 * tp / 4)  # 4 positives total
+        f1 = round(1000 * 2 * tp / (2 * tp + fp + fn)) if 2 * tp + fp + fn else 0
+        assert (r["precision_milli"], r["recall_milli"], r["f1_milli"]) == (
+            prec, rec, f1), t
+
+
+def test_cell_boundary_semantics(spark):
+    # a score exactly ON a grid threshold is kept at that threshold
+    df = spark.createDataFrame([(500, True)], "conf long, match boolean")
+    out = {r["threshold_milli"]: r["tp"] for r in threshold_sweep(
+        df, "conf", "match").collect()}
+    assert out[500] == 1 and out[525] == 0
+
+
+def test_step_validation(spark, scored):
+    with pytest.raises(ValueError):
+        threshold_sweep(scored, "conf", "match", step_milli=0)
+    with pytest.raises(ValueError):
+        threshold_sweep(scored, "conf", "match", step_milli=33)
+
+
+def test_custom_step_and_empty_input(spark):
+    empty = spark.createDataFrame([], "conf long, match boolean")
+    out = threshold_sweep(empty, "conf", "match", step_milli=250).collect()
+    assert len(out) == 5
+    assert all(
+        (r["tp"], r["fp"], r["fn"], r["tn"], r["f1_milli"]) == (0, 0, 0, 0, 0)
+        for r in out
+    )
