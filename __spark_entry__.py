@@ -2575,6 +2575,78 @@ LATERAL (SELECT unnest(generate_series(1,
 """
 
 
+def _q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle rewrite (PSM order) of a deterministic half of
+    the corpus — pure Catalyst: sha256 gate + two sha256 cut-point draws
+    + substr/concat assembly.  The oracle re-derives the gate, both cut
+    points, and the full PSM string in SQL."""
+    from language_identification_spark.operators.fim import fim_transform
+
+    docs = _docs(spark, sf_dir)
+    return fim_transform(docs, rate=0.5, min_chars=8, salt="r5fim")
+
+
+_SQL_FIM_TRANSFORM = """
+WITH s AS (
+  SELECT doc_id, coalesce(text, '') AS text, length(coalesce(text, '')) AS n,
+         CAST(('0x' || substr(sha256('r5fim|g|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 10000 AS g,
+         CAST(('0x' || substr(sha256('r5fim|a|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ua,
+         CAST(('0x' || substr(sha256('r5fim|b|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ub
+  FROM documents
+), c AS (
+  SELECT doc_id, text, n, (g < 5000 AND n >= 8) AS fim,
+         least(ua % (n + 1), ub % (n + 1)) AS lo,
+         greatest(ua % (n + 1), ub % (n + 1)) AS hi
+  FROM s
+)
+SELECT doc_id, fim,
+       CASE WHEN fim
+            THEN '<|fim_prefix|>' || substr(text, 1, lo)
+                 || '<|fim_suffix|>' || substr(text, hi + 1, n - hi)
+                 || '<|fim_middle|>' || substr(text, lo + 1, hi - lo)
+            ELSE text END AS fim_text
+FROM c
+"""
+
+
+def _q_repo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-granularity curation verdicts: one grouped aggregation over
+    per-doc quality/token signals with an exact-integer keep decision
+    (quality_sum >= tau * n_docs — no float-mean order dependence)."""
+    from language_identification_spark.operators.repolevel import repo_rollup
+
+    docs = _docs(spark, sf_dir)
+    return repo_rollup(docs, group_col="source", tau_milli=500, min_docs=1)
+
+
+_SQL_REPO_ROLLUP = """
+WITH s AS (
+  SELECT source,
+         CAST(round(round((
+             least(length(text) / 500.0, 1.0)
+             + greatest(0.0, 1.0 - (length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g'))
+                 * 1.0 / greatest(length(text), 1)) * 4.0)
+             + least((len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+                 * 1.0 / greatest(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END, 1)) * 5.0,
+                   1.0)
+           ) / 3.0, 6) * 1000) AS BIGINT) AS q_milli,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       CAST(sum(q_milli) AS BIGINT) AS quality_sum,
+       (sum(q_milli) >= 500 * count(*) AND count(*) >= 1) AS repo_keep
+FROM s
+GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2622,6 +2694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_sequences": _q_packed_sequences,
         "mixture_plan": _q_mixture_plan,
         "epoch_upsample": _q_epoch_upsample,
+        "fim_transform": _q_fim_transform,
+        "repo_rollup": _q_repo_rollup,
     }
 
 
@@ -2672,6 +2746,8 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequences": _SQL_PACKED_SEQUENCES,
         "mixture_plan": _SQL_MIXTURE_PLAN,
         "epoch_upsample": _SQL_EPOCH_UPSAMPLE,
+        "fim_transform": _SQL_FIM_TRANSFORM,
+        "repo_rollup": _SQL_REPO_ROLLUP,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -1,0 +1,103 @@
+"""Fill-in-the-middle (FIM) transform for code-model training data.
+
+Code LLMs are trained with a fraction of documents rearranged into
+prefix/suffix/middle order (PSM) so the model learns infilling
+(Bavarian et al., "Efficient Training of Language Models to Fill in
+the Middle", 2022).  The transform needs two properties at corpus
+scale: the *choice* of which documents to transform and *where* to cut
+them must be deterministic (reproducible across retries, auditable by
+an external engine), and the rewrite itself must stay row-local (no
+shuffle, no Python).
+
+This operator does both with pure Catalyst expressions: a sha256
+bucket over the document id gates which rows are transformed (same
+portable-hash scheme as ``operators/sampling.py``), two more salted
+sha256 draws pick the cut points, and the PSM string is assembled with
+``substr``/``concat`` — one narrow projection over the scan, no
+Exchange, no UDF, whole-stage codegen end to end.
+
+Reference parity: the reference engine has no FIM stage (it filters
+and scrubs, it does not rearrange training text); this operator is
+part of the LLM-training-data extension surface, same tier as packing
+(``operators/packing.py``) and mixture planning (``operators/mixture.py``).
+
+Scale shape (100 TB lens): embarrassingly parallel per row; the only
+data movement is the scan itself.  Cut points are drawn per row from
+the id, not from a global RNG, so the transform is identical at any
+parallelism and any retry count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# sentinel tokens in the SantaCoder/StarCoder style; any tokenizer-specific
+# strings can be substituted — the operator only concatenates them
+FIM_PREFIX = "<|fim_prefix|>"
+FIM_SUFFIX = "<|fim_suffix|>"
+FIM_MIDDLE = "<|fim_middle|>"
+
+# buckets per unit of FIM rate: rates are quantized to 1/N_BUCKETS
+N_BUCKETS = 10_000
+
+
+def _u32(key: Column, salt: str, tag: str) -> Column:
+    """First 32 bits of sha256("<salt>|<tag>|<key>") as a non-negative long.
+
+    Same engine-portable construction as ``sampling.sample_bucket_col``
+    (DuckDB: ``CAST(('0x' || substr(sha256(s),1,8)) AS BIGINT)``).
+    """
+    h = F.sha2(
+        F.encode(F.concat_ws("|", F.lit(salt), F.lit(tag), key.cast("string")), "UTF-8"),
+        256,
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate: float = 0.5,
+    min_chars: int = 8,
+    salt: str = "fim-v1",
+) -> DataFrame:
+    """Rewrite a deterministic ``rate`` fraction of documents into PSM form.
+
+    Output columns: ``<id_col>``, ``fim`` (bool — whether this row was
+    transformed), ``fim_text`` (the PSM string for transformed rows, the
+    original text otherwise).
+
+    A row is transformed iff its gate bucket falls under ``rate`` AND the
+    text has at least ``min_chars`` characters (too-short documents carry
+    no useful middle).  Cut points ``lo <= hi`` are two independent
+    uniform draws over ``[0, n]`` — either or both spans may be empty,
+    matching the paper's character-level random splits.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    key = F.col(id_col)
+    n = F.length(t)
+
+    gate = (_u32(key, salt, "g") % N_BUCKETS) < int(round(rate * N_BUCKETS))
+    fim = gate & (n >= F.lit(min_chars))
+
+    a = _u32(key, salt, "a") % (n + F.lit(1))
+    b = _u32(key, salt, "b") % (n + F.lit(1))
+    lo = F.least(a, b)
+    hi = F.greatest(a, b)
+
+    prefix = t.substr(F.lit(1), lo)
+    middle = t.substr(lo + F.lit(1), hi - lo)
+    suffix = t.substr(hi + F.lit(1), n - hi)
+    psm = F.concat(
+        F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix, F.lit(FIM_MIDDLE), middle
+    )
+
+    return df.select(
+        F.col(id_col),
+        fim.alias("fim"),
+        F.when(fim, psm).otherwise(t).alias("fim_text"),
+    )

@@ -1,0 +1,85 @@
+"""Repo-level rollup filtering — aggregate verdicts for whole repositories.
+
+Code-corpus curation filters at two granularities: per file (the
+pipeline's keep/drop) and per *repository* — a repo whose files are
+overwhelmingly low-quality (vendored minified bundles, generated
+protobuf stubs, lockfile farms) is dropped wholesale even when a few
+individual files squeak past the per-file gate (The Stack / StarCoder
+data pipelines both do this).  The rollup is one grouped aggregation:
+per-group document count, token mass, and an exact integer quality sum.
+
+The keep verdict uses exact integer math on the milli-quantized score
+(``quality_sum >= tau_milli * n_docs``) rather than comparing a
+floating-point mean against a threshold, so the decision is
+bit-reproducible across engines, partitionings, and aggregation orders
+— floating-point sums are order-dependent; bigint sums are not.
+
+Reference parity: the reference engine processes files independently
+and has no corpus-level stage; this operator is part of the
+LLM-training-data extension surface.
+
+Scale shape (100 TB lens): a single partial-aggregated ``groupBy`` on
+the repo key — map-side combine reduces each partition to one row per
+repo before the Exchange, so the shuffle carries O(#repos) rows, not
+O(#files).  Content never shuffles: the projection drops ``text``
+before the Exchange (quality/token signals are computed scan-side).
+Mega-repo skew does not apply — partial aggregation bounds any one
+key's shuffle contribution to one row per upstream partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from language_identification_spark.functions.text import (
+    quality_score_col,
+    token_count_col,
+)
+
+
+def repo_rollup(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    tau_milli: int = 500,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-repo aggregate stats plus an exact-integer keep verdict.
+
+    Output columns: ``<group_col>``, ``n_docs``, ``tokens_total``,
+    ``quality_sum`` (sum of per-doc milli-quantized quality scores),
+    ``repo_keep`` (quality mean >= tau_milli/1000 AND n_docs >= min_docs,
+    decided in integer arithmetic).
+    """
+    t = F.col(text_col)
+    scored = df.select(
+        F.col(group_col),
+        F.round(quality_score_col(t) * 1000).cast("long").alias("q_milli"),
+        token_count_col(t).alias("n_tok"),
+    )
+    agg = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum("q_milli").alias("quality_sum"),
+    )
+    keep = (F.col("quality_sum") >= F.lit(int(tau_milli)) * F.col("n_docs")) & (
+        F.col("n_docs") >= F.lit(int(min_docs))
+    )
+    return agg.select(
+        group_col, "n_docs", "tokens_total", "quality_sum", keep.alias("repo_keep")
+    )
+
+
+def apply_repo_filter(
+    df: DataFrame,
+    verdicts: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Keep only rows whose repo passed the rollup.
+
+    The verdict table is O(#repos) — tiny next to the corpus — so the
+    join is an explicit broadcast: no shuffle of the corpus side.
+    """
+    keep_keys = verdicts.filter(F.col("repo_keep")).select(group_col)
+    return df.join(F.broadcast(keep_keys), on=group_col, how="inner")

@@ -1,0 +1,131 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.fim import (
+    FIM_MIDDLE,
+    FIM_PREFIX,
+    FIM_SUFFIX,
+    N_BUCKETS,
+    fim_transform,
+)
+from language_identification_spark.operators.repolevel import (
+    apply_repo_filter,
+    repo_rollup,
+)
+
+
+def _py_u32(salt: str, tag: str, key) -> int:
+    h = hashlib.sha256(f"{salt}|{tag}|{key}".encode()).hexdigest()
+    return int(h[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"the quick brown fox {i} jumps over the lazy dog number {i}")
+        for i in range(300)
+    ] + [(1000, "tiny"), (1001, ""), (1002, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_fim_reconstruction_and_gate(docs):
+    """Every transformed row reassembles to the original text; the gate and
+    cut points match an independent stdlib-sha256 reimplementation."""
+    out = {r["doc_id"]: r for r in fim_transform(docs, salt="t1").collect()}
+    orig = {r["doc_id"]: (r["text"] or "") for r in docs.collect()}
+    n_fim = 0
+    for doc_id, text in orig.items():
+        row = out[doc_id]
+        expect_gate = (_py_u32("t1", "g", doc_id) % N_BUCKETS) < N_BUCKETS // 2
+        expect_fim = expect_gate and len(text) >= 8
+        assert row["fim"] == expect_fim
+        if not expect_fim:
+            assert row["fim_text"] == text
+            continue
+        n_fim += 1
+        a = _py_u32("t1", "a", doc_id) % (len(text) + 1)
+        b = _py_u32("t1", "b", doc_id) % (len(text) + 1)
+        lo, hi = min(a, b), max(a, b)
+        expected = (
+            FIM_PREFIX + text[:lo] + FIM_SUFFIX + text[hi:] + FIM_MIDDLE + text[lo:hi]
+        )
+        assert row["fim_text"] == expected
+        # PSM reassembles to the original
+        p = row["fim_text"]
+        prefix = p[len(FIM_PREFIX) : p.index(FIM_SUFFIX)]
+        suffix = p[p.index(FIM_SUFFIX) + len(FIM_SUFFIX) : p.index(FIM_MIDDLE)]
+        middle = p[p.index(FIM_MIDDLE) + len(FIM_MIDDLE) :]
+        assert prefix + middle + suffix == text
+    # the 50% gate actually selects a non-trivial fraction of 300 docs
+    assert 100 < n_fim < 200
+
+
+def test_fim_rate_bounds(docs):
+    with pytest.raises(ValueError):
+        fim_transform(docs, rate=1.5)
+    assert fim_transform(docs, rate=0.0).filter("fim").count() == 0
+    # rate=1.0: everything long enough is transformed
+    n_long = docs.filter(F.length(F.coalesce("text", F.lit(""))) >= 8).count()
+    assert fim_transform(docs, rate=1.0).filter("fim").count() == n_long
+
+
+def test_fim_plan_no_shuffle_no_udf(docs):
+    plan = fim_transform(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF — pure codegen
+
+
+@pytest.fixture(scope="module")
+def repo_docs(spark):
+    rows = []
+    for i in range(40):
+        # repo "good": prose that scores well; repo "bad": punctuation soup
+        rows.append((i, "the quick brown fox and the lazy dog of it is in to", "good"))
+        rows.append((1000 + i, "@#$%^&*!!! ~~~ ;;; @#$%^&*!!!", "bad"))
+    rows.append((2000, "the one lonely doc of the empty repo", "solo"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string").cache()
+
+
+def test_repo_rollup_verdicts(repo_docs):
+    got = {r["source"]: r for r in repo_rollup(repo_docs, tau_milli=400).collect()}
+    assert got["good"]["repo_keep"] is True
+    assert got["bad"]["repo_keep"] is False
+    assert got["good"]["n_docs"] == 40
+    assert got["solo"]["n_docs"] == 1
+    # exact integer verdict: quality_sum >= tau * n_docs
+    for r in got.values():
+        assert r["repo_keep"] == (
+            r["quality_sum"] >= 400 * r["n_docs"] and r["n_docs"] >= 1
+        )
+
+
+def test_repo_rollup_min_docs(repo_docs):
+    got = {
+        r["source"]: r["repo_keep"]
+        for r in repo_rollup(repo_docs, tau_milli=400, min_docs=2).collect()
+    }
+    assert got["solo"] is False  # fails the min-docs floor, not the score
+    assert got["good"] is True
+
+
+def test_apply_repo_filter_broadcasts(repo_docs):
+    verdicts = repo_rollup(repo_docs, tau_milli=400)
+    kept = apply_repo_filter(repo_docs, verdicts)
+    assert set(r["source"] for r in kept.select("source").distinct().collect()) == {
+        "good",
+        "solo",
+    }
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles
+
+
+def test_repo_rollup_partial_aggregation(repo_docs):
+    """The groupBy must partial-aggregate (map-side combine) so the shuffle
+    carries O(#repos) rows — the 100 TB-safety property the module claims."""
+    plan = repo_rollup(repo_docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "text" not in plan.split("Exchange")[1].split("HashAggregate")[0]
