@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (47/47) — including the model/LSH stages, re-derived in SQL
+EVERY query (50/50) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2647,6 +2647,110 @@ GROUP BY source
 """
 
 
+def _q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every document weighted by the inverse of its near-dup
+    cluster size (integer floor-div ppm — engine-portable, no float-round
+    divergence).  Reuses the oracled MinHash pair miner and component
+    grouping; the oracle re-derives sizes from the recursive-CTE closure."""
+    from language_identification_spark.operators.dedup import (
+        connected_components,
+        duplicate_weights,
+        jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    comps = connected_components(pairs)
+    return duplicate_weights(docs, comps)
+
+
+def _sql_dup_weights() -> str:
+    comp_sql = _sql_dedup_components()
+    return f"""
+WITH comp AS ({comp_sql}),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST(1000000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_ppm
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.component = c.component
+"""
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary mining: top-100 lowercased whitespace tokens by
+    total frequency with document frequency, deterministic tf-desc/token-asc
+    tie-break — one partial-aggregated groupBy + TakeOrderedAndProject."""
+    from language_identification_spark.operators.vocab import vocab_topk
+
+    docs = _docs(spark, sf_dir)
+    return vocab_topk(docs, k=100)
+
+
+_SQL_VOCAB_TOPK = """
+WITH toks AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       LATERAL unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'))
+           AS t(token)
+  WHERE length(t.token) >= 1
+)
+SELECT token,
+       count(*) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 100
+"""
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding table: per-dimension
+    (min, max) stats pass (d-row aggregate, same driver-scalar budget as
+    the IVF trainer) + row-local floor-quantize fold-in.  The oracle
+    re-derives the ranges and every code in SQL; codes are emitted as a
+    comma-joined string so the array compares engine-neutrally."""
+    from language_identification_spark.operators.quantize import (
+        dimension_ranges,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ranges = dimension_ranges(emb)
+    out = quantize_embeddings(emb, ranges)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_str"),
+    )
+
+
+_SQL_QUANTIZE_EMBEDDINGS = """
+WITH ex AS (
+  SELECT vec_id, CAST(g.i AS INT) AS pos, embedding[g.i] AS x
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding)))) AS g(i)
+),
+dims AS (
+  SELECT pos, min(x) AS lo, max(x) AS hi FROM ex GROUP BY pos
+),
+q AS (
+  SELECT e.vec_id, e.pos,
+         CASE WHEN d.hi = d.lo THEN 0
+              ELSE greatest(0, least(255,
+                   CAST(floor((CAST(e.x AS DOUBLE) - CAST(d.lo AS DOUBLE)) * 255.0
+                        / (CAST(d.hi AS DOUBLE) - CAST(d.lo AS DOUBLE))) AS INT)))
+         END AS code
+  FROM ex e JOIN dims d USING (pos)
+)
+SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS qvec_str
+FROM q GROUP BY vec_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2696,6 +2800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_upsample": _q_epoch_upsample,
         "fim_transform": _q_fim_transform,
         "repo_rollup": _q_repo_rollup,
+        "dup_weighted_docs": _q_dup_weights,
+        "vocab_topk": _q_vocab_topk,
+        "quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -2748,6 +2855,9 @@ def oracle_sql() -> dict[str, str]:
         "epoch_upsample": _SQL_EPOCH_UPSAMPLE,
         "fim_transform": _SQL_FIM_TRANSFORM,
         "repo_rollup": _SQL_REPO_ROLLUP,
+        "dup_weighted_docs": _sql_dup_weights(),
+        "vocab_topk": _SQL_VOCAB_TOPK,
+        "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -471,6 +471,9 @@ def main() -> None:
     # k-row mixture plan, then broadcast-join + generator upsample
     timed("mixture_plan", lambda: _noop(em._q_mixture_plan(spark, SF_DIR)))
     timed("epoch_upsample", lambda: _noop(em._q_epoch_upsample(spark, SF_DIR)))
+    # pure-codegen row-local rewrite (no Exchange) and one grouped rollup
+    timed("fim_transform", lambda: _noop(em._q_fim_transform(spark, SF_DIR)))
+    timed("repo_rollup", lambda: _noop(em._q_repo_rollup(spark, SF_DIR)))
     # end-to-end semantic dedup (pairs -> star components -> representatives);
     # iterative star rounds each launch jobs, so min-of-3
     timed(

@@ -699,3 +699,55 @@ def keep_representatives(
         F.col(node_col).alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def duplicate_weights(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    node_col: str = "node",
+    comp_col: str = "comp",
+) -> DataFrame:
+    """Soft dedup: weight every document by the inverse of its near-dup
+    cluster size instead of dropping non-representatives.
+
+    Hard dedup (``keep_representatives``) discards text; several training
+    pipelines instead *downweight* duplicated content so each near-dup
+    cluster contributes one document's worth of gradient mass in
+    expectation.  Output: ``(id_col, cluster_size, weight_ppm)`` for every
+    input row — un-clustered rows get ``cluster_size=1`` / weight 1.0.
+
+    ``weight_ppm`` is the integer floor of ``1e6 / cluster_size`` —
+    integer division on purpose: a float ``round(1/size)`` hits
+    half-even-vs-half-up divergence across engines (e.g. size 16 →
+    62500.5 parts-per-thousand-rounds differently), floor-div is
+    bit-identical everywhere.
+
+    Scale shape (100 TB lens): cluster sizes are one partial-aggregated
+    ``groupBy`` over the components table (pairs-scale — ids only); the
+    join back to the corpus is on the id key and carries two longs per
+    row.  Content never shuffles; AQE broadcasts the component map when
+    it fits.
+    """
+    sizes = components.groupBy(comp_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    membership = components.join(sizes, comp_col).select(
+        F.col(node_col).alias(id_col), "cluster_size"
+    )
+    return (
+        df.select(id_col)
+        .join(membership, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+            (
+                F.lit(1_000_000)
+                / F.coalesce(F.col("cluster_size"), F.lit(1))
+            )
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )

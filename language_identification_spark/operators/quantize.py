@@ -1,0 +1,102 @@
+"""Int8 scalar quantization of embedding columns.
+
+At 10^12-document scale a float32 embedding table is the single
+largest artifact a training pipeline carries (a 768-dim corpus is
+~3 KB/row before compression).  Per-dimension affine int8 quantization
+cuts it 4x with bounded cosine error, and — unlike product
+quantization — stays a pure columnar transform: one tiny stats
+aggregation plus one row-local ``transform`` over the array column.
+
+Determinism note: the quantized code uses ``floor`` of a fixed
+double-precision expression shape ``(x - lo) * 255.0 / (hi - lo)``,
+NOT ``round`` — round is HALF_UP in Spark and half-even in other
+engines (DuckDB, numpy), so a tie at .5 silently diverges; floor of
+identically-associated IEEE-754 double math is bit-identical
+everywhere.  Constant dimensions (hi == lo) map to code 0.
+
+Reference parity: the reference engine has no embedding stage; this
+operator is part of the LLM-training-data extension surface, same
+tier as the ANN family in ``operators/similarity.py``.
+
+Scale shape (100 TB lens): the stats pass is ``posexplode`` into a
+partial-aggregated ``groupBy(pos)`` — the Exchange carries d rows per
+upstream partition (d = embedding width), never vectors.  The d-row
+(lo, hi) table is collected (same k x d driver-scalar budget as the
+IVF centroid trainer — row data never reaches the driver) and folded
+back in as array literals, so the quantize pass itself is row-local
+whole-stage codegen: no Exchange, no UDF, no shuffle of any vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dimension_ranges(
+    df: DataFrame, vec_col: str = "embedding"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — a d-row aggregate.
+
+    Returned as plain floats (float32 precision preserved through the
+    FloatType min/max) ordered by dimension index.
+    """
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot derive ranges from an empty table")
+    if [r["pos"] for r in rows] != list(range(len(rows))):
+        raise ValueError("ragged embedding column: dimensions missing")
+    return [(r["lo"], r["hi"]) for r in rows]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    ranges: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Affine-quantize ``vec_col`` to int codes in [0, 255] per dimension.
+
+    ``code = clamp(floor((x - lo) * 255.0 / (hi - lo)), 0, 255)`` with
+    the corpus-wide per-dimension ``(lo, hi)`` from ``dimension_ranges``
+    folded in as literals.  Out-of-range values (a vector not seen by
+    the stats pass) clamp instead of overflowing.
+    """
+    lo = F.array(*[F.lit(float(a)).cast("double") for a, _ in ranges])
+    hi = F.array(*[F.lit(float(b)).cast("double") for _, b in ranges])
+    code = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        F.zip_with(lo, hi, lambda a, b: F.struct(a.alias("lo"), b.alias("hi"))),
+        lambda x, r: F.when(r["hi"] == r["lo"], F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    F.floor((x - r["lo"]) * F.lit(255.0) / (r["hi"] - r["lo"])).cast(
+                        "int"
+                    ),
+                ),
+            )
+        ),
+    )
+    return df.withColumn(out_col, code)
+
+
+def dequantize_expr(
+    qvec_col: str, ranges: list[tuple[float, float]]
+) -> F.Column:
+    """Reconstruction: the center of each code's cell, as array<double>."""
+    lo = F.array(*[F.lit(float(a)).cast("double") for a, _ in ranges])
+    hi = F.array(*[F.lit(float(b)).cast("double") for _, b in ranges])
+    return F.zip_with(
+        F.col(qvec_col).cast("array<double>"),
+        F.zip_with(lo, hi, lambda a, b: F.struct(a.alias("lo"), b.alias("hi"))),
+        lambda q, r: r["lo"]
+        + (q + F.lit(0.5)) * (r["hi"] - r["lo"]) / F.lit(255.0),
+    )

@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.quantize import (
+    dequantize_expr,
+    dimension_ranges,
+    quantize_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 8)).astype(np.float32)
+    vecs[:, 3] = 2.5  # constant dimension
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    return df, vecs
+
+
+def test_ranges_match_numpy(emb):
+    df, vecs = emb
+    ranges = dimension_ranges(df)
+    assert len(ranges) == 8
+    for d, (lo, hi) in enumerate(ranges):
+        assert lo == pytest.approx(float(vecs[:, d].min()), abs=0)
+        assert hi == pytest.approx(float(vecs[:, d].max()), abs=0)
+
+
+def test_codes_in_range_and_constant_dim_zero(emb):
+    df, _ = emb
+    ranges = dimension_ranges(df)
+    rows = quantize_embeddings(df, ranges).collect()
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r["qvec"])
+        assert r["qvec"][3] == 0  # constant dimension
+
+
+def test_roundtrip_error_bounded(emb):
+    """Dequantized value must land within one quantization cell of the
+    original — the scalar-quantization error bound (hi-lo)/255."""
+    df, vecs = emb
+    ranges = dimension_ranges(df)
+    out = quantize_embeddings(df, ranges).withColumn(
+        "recon", dequantize_expr("qvec", ranges)
+    )
+    recon = {r["vec_id"]: r["recon"] for r in out.collect()}
+    for i in range(200):
+        for d in range(8):
+            lo, hi = ranges[d]
+            cell = (hi - lo) / 255.0
+            assert abs(recon[i][d] - float(vecs[i, d])) <= cell + 1e-9
+
+
+def test_cosine_preserved(emb):
+    df, vecs = emb
+    ranges = dimension_ranges(df)
+    out = quantize_embeddings(df, ranges).withColumn(
+        "recon", dequantize_expr("qvec", ranges)
+    )
+    for r in out.limit(50).collect():
+        a = np.array(r["recon"])
+        b = vecs[r["vec_id"]].astype(np.float64)
+        cos = float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+        assert cos > 0.999
+
+
+def test_quantize_pass_is_row_local(emb):
+    """After the d-row stats fold-in, the quantize projection itself must
+    be shuffle-free and UDF-free (the 100 TB-safety claim)."""
+    df, _ = emb
+    ranges = dimension_ranges(df)
+    plan = (
+        quantize_embeddings(df, ranges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_empty_table_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        dimension_ranges(df)
