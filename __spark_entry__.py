@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (50/50) — including the model/LSH stages, re-derived in SQL
+EVERY query (54/54) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2751,6 +2751,188 @@ FROM q GROUP BY vec_id
 """
 
 
+# License headers planted deterministically on a doc_id-gated subset so the
+# detector's every branch (SPDX tag, each phrase class, tag-beats-phrase
+# precedence, no-license) is exercised and independently re-derived by the
+# oracle — same planted-input pattern as the FIM transform.
+_LICENSE_HEADERS = [
+    "SPDX-License-Identifier: MIT\n",
+    "Permission is hereby granted, free of charge, to any person obtaining a copy\n",
+    'Licensed under the Apache License, Version 2.0 (the "License");\n',
+    "under the terms of the GNU General Public License as published by the FSF\n",
+    "under the terms of the GNU Lesser General Public License as published\n",
+    "This Source Code Form is subject to the terms of the Mozilla Public License, v. 2.0.\n",
+    "Redistribution and use in source and binary forms, with or without modification\n",
+    "SPDX-License-Identifier: GPL-3.0-only\nPermission is hereby granted, free of charge\n",
+    "This is free and unencumbered software released into the public domain.\n",
+]
+
+
+def _plant_license_headers(docs: DataFrame) -> DataFrame:
+    hdr = F.element_at(
+        F.array(*[F.lit(h) for h in _LICENSE_HEADERS]),
+        (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("int"),
+    )
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(hdr, F.coalesce(F.col("text"), F.lit(""))),
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", planted)
+
+
+def _sql_license_cls() -> str:
+    """Shared oracle CTE: planted text -> per-doc license class."""
+    hdr_cases = "\n".join(
+        f"        WHEN {i} THEN '{h}'".replace("\n", "' || chr(10) || '")
+        for i, h in enumerate(_LICENSE_HEADERS)
+    )
+    return f"""
+src AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN
+           (CASE doc_id % 9
+{hdr_cases}
+            END) || coalesce(text, '')
+         ELSE text END AS text
+  FROM documents
+),
+heads AS (
+  SELECT doc_id, source,
+         substr(coalesce(text, ''), 1, 4096) AS head
+  FROM src
+),
+cls AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN regexp_extract(head,
+                'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.\\-]+\\+?)', 1) <> ''
+             THEN regexp_extract(head,
+                'SPDX-License-Identifier:[ \\t]*([A-Za-z0-9.\\-]+\\+?)', 1)
+           WHEN contains(lower(head), 'permission is hereby granted, free of charge') THEN 'MIT'
+           WHEN contains(lower(head), 'apache license, version 2.0') THEN 'Apache-2.0'
+           WHEN contains(lower(head), 'gnu affero general public license') THEN 'AGPL-3.0'
+           WHEN contains(lower(head), 'gnu lesser general public license') THEN 'LGPL-3.0'
+           WHEN contains(lower(head), 'gnu general public license') THEN 'GPL-3.0'
+           WHEN contains(lower(head), 'mozilla public license') THEN 'MPL-2.0'
+           WHEN contains(lower(head), 'redistribution and use in source and binary forms') THEN 'BSD-3-Clause'
+           WHEN contains(lower(head), 'this is free and unencumbered software released into the public domain') THEN 'Unlicense'
+           ELSE NULL
+         END AS license_spdx
+  FROM heads
+)"""
+
+
+_PERMISSIVE_SQL = "('MIT','Apache-2.0','BSD-3-Clause','BSD-2-Clause','ISC','Unlicense','0BSD')"
+_COPYLEFT_SQL = (
+    "('GPL-2.0','GPL-3.0','AGPL-3.0','LGPL-2.1','LGPL-3.0',"
+    "'GPL-2.0-only','GPL-2.0-or-later','GPL-3.0-only','GPL-3.0-or-later',"
+    "'AGPL-3.0-only','AGPL-3.0-or-later','LGPL-2.1-only','LGPL-2.1-or-later',"
+    "'LGPL-3.0-only','LGPL-3.0-or-later')"
+)
+
+
+def _q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file license detection (SPDX tag > header phrases > NULL) over
+    the corpus with deterministically planted headers; row-local CASE chain
+    on a 4096-char JVM-side prefix clip — no UDF, no Exchange."""
+    from language_identification_spark.operators.license import detect_license
+
+    docs = _plant_license_headers(_docs(spark, sf_dir))
+    return detect_license(docs).select("doc_id", "license_spdx", "license_permissive")
+
+
+def _sql_license_detect() -> str:
+    return f"""
+WITH {_sql_license_cls()}
+SELECT doc_id, license_spdx,
+       coalesce(license_spdx IN {_PERMISSIVE_SQL}, FALSE) AS license_permissive
+FROM cls
+"""
+
+
+def _q_license_repo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level license census + keep verdict (>=1 permissive file, zero
+    copyleft files): one partial-aggregated groupBy carrying four longs per
+    repo — exact-integer, order-independent."""
+    from language_identification_spark.operators.license import (
+        detect_license,
+        repo_license_rollup,
+    )
+
+    docs = _plant_license_headers(_docs(spark, sf_dir))
+    lic = detect_license(docs).withColumnRenamed("source", "repo")
+    return repo_license_rollup(lic)
+
+
+def _sql_license_repo_rollup() -> str:
+    return f"""
+WITH {_sql_license_cls()}
+SELECT source AS repo,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN license_spdx IN {_PERMISSIVE_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_permissive,
+       CAST(sum(CASE WHEN license_spdx IN {_COPYLEFT_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_copyleft,
+       CAST(sum(CASE WHEN license_spdx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+       (sum(CASE WHEN license_spdx IN {_PERMISSIVE_SQL} THEN 1 ELSE 0 END) > 0
+        AND sum(CASE WHEN license_spdx IN {_COPYLEFT_SQL} THEN 1 ELSE 0 END) = 0) AS keep
+FROM cls
+GROUP BY source
+"""
+
+
+def _q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: 60-bit sha256 hash key per doc
+    plus shard assignment — a pure function of (seed, doc_id), independent
+    of partitioning and cluster size.  Row-local key/shard, range-exchange
+    total order."""
+    from language_identification_spark.operators.ordering import (
+        deterministic_shuffle,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return deterministic_shuffle(docs, seed="epoch0", n_shards=16).select(
+        "doc_id", "shuffle_key", "shard"
+    )
+
+
+_SQL_SHUFFLE_ORDER = """
+SELECT doc_id,
+       CAST(('0x' || substr(sha256('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) AS shuffle_key,
+       CAST(CAST(('0x' || substr(sha256('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 16 AS INT) AS shard
+FROM documents
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows with stride 48 (16-token
+    overlap) over whitespace tokens — row-local sequence+posexplode+slice,
+    no Exchange, no UDF."""
+    from language_identification_spark.operators.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    return chunk_documents(docs, max_tokens=64, stride=48)
+
+
+_SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS t
+  FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
+),
+starts AS (
+  SELECT doc_id, t,
+         CAST(g.s AS INT) AS start,
+         CAST((g.s / 48) AS INT) AS chunk_id
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 1, 48))) AS g(s)
+)
+SELECT doc_id, chunk_id,
+       CAST(len(t[start + 1 : least(start + 64, len(t))]) AS INT) AS chunk_n_tokens,
+       array_to_string(t[start + 1 : least(start + 64, len(t))], ' ') AS chunk_text
+FROM starts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2803,6 +2985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_weighted_docs": _q_dup_weights,
         "vocab_topk": _q_vocab_topk,
         "quantize_embeddings": _q_quantize_embeddings,
+        "license_detect": _q_license_detect,
+        "license_repo_rollup": _q_license_repo_rollup,
+        "shuffle_order": _q_shuffle_order,
+        "chunk_documents": _q_chunk_documents,
     }
 
 
@@ -2858,6 +3044,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_weighted_docs": _sql_dup_weights(),
         "vocab_topk": _SQL_VOCAB_TOPK,
         "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
+        "license_detect": _sql_license_detect(),
+        "license_repo_rollup": _sql_license_repo_rollup(),
+        "shuffle_order": _SQL_SHUFFLE_ORDER,
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

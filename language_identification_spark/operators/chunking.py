@@ -1,0 +1,76 @@
+"""Fixed-token-window document chunking with overlap.
+
+Context-window preparation: documents longer than the model's window
+must be split into ``max_tokens``-sized pieces, and retrieval/embedding
+pipelines additionally want adjacent windows to overlap so no span is
+cut without context.  This operator splits on whitespace tokens (the
+engine's established token convention — same splitter as
+``functions/text.py`` and the packing stage) and emits one row per
+window with a stable per-document chunk index.
+
+Scale shape (100 TB lens): entirely row-local Catalyst — ``split`` +
+``sequence`` over window starts + ``posexplode`` + ``slice``/
+``array_join``.  No Exchange, no UDF, no state: a document's chunks are
+produced where the document is scanned, so the stage is embarrassingly
+parallel at any corpus size.  Output size is input size times at most
+``max_tokens / stride`` (the overlap factor) — callers control blow-up
+through the stride.
+
+Determinism: window starts are ``0, stride, 2*stride, ...`` while
+``start < n_tokens`` — a pure function of the token count; no sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into whitespace-token windows.
+
+    ``stride`` defaults to ``max_tokens`` (disjoint windows); a smaller
+    stride overlaps adjacent windows by ``max_tokens - stride`` tokens.
+    Documents whose trimmed text is empty produce no rows (the token
+    count convention: empty text has zero tokens).
+
+    Output: ``(id_col, chunk_id, chunk_n_tokens, chunk_text)`` —
+    ``chunk_id`` counts windows within the document from 0.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    step = max_tokens if stride is None else stride
+    if not 0 < step <= max_tokens:
+        raise ValueError(f"stride must be in (0, max_tokens], got {step}")
+
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = (
+        df.filter(F.trim(F.coalesce(F.col(text_col), F.lit(""))) != "")
+        .select(F.col(id_col), toks.alias("_toks"))
+        .withColumn(
+            "_starts",
+            F.sequence(
+                F.lit(0), F.size("_toks") - 1, F.lit(step)
+            ),
+        )
+    )
+    win = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return (
+        base.select(
+            id_col,
+            F.posexplode("_starts").alias("chunk_id", "_start"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(win).alias("chunk_n_tokens"),
+            F.array_join(win, " ").alias("chunk_text"),
+        )
+    )

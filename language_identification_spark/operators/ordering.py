@@ -1,0 +1,64 @@
+"""Deterministic global shuffle for training-order assignment.
+
+A training run must visit documents in an order that is (a) pseudo-random
+— adjacent documents in storage are correlated (same crawl, same repo)
+and feeding them in storage order skews gradients — and (b) exactly
+reproducible, so a resumed or re-sharded run sees the same sequence.
+``rand()`` fails (b): it is seeded per-partition and changes with the
+input's partitioning.  The standard fix is hash-ordering: key every row
+by ``sha256(seed || id)`` and order by that key — a deterministic
+function of the row identity alone.
+
+Scale shape (100 TB lens): ``orderBy(key)`` in Spark is a range-exchange
+plus per-partition sort (sampled range boundaries) — a genuine
+distributed total order, not a single-node sort.  ``shard`` assignment
+(top hex bits mod n_shards) needs no Exchange at all: it's row-local,
+so a writer can ``partitionBy("shard")`` and downstream trainers read
+shard files independently.  The key is 64 bits of the sha256 — collision
+probability at 10^12 rows is ~2.7e-8 per pair; ties are broken by the
+id column so the order stays total and deterministic regardless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shuffle_key_expr(id_col: str = "doc_id", seed: str = "seed0") -> Column:
+    """64-bit deterministic shuffle key: top 16 hex chars of
+    ``sha256(seed | id)`` parsed as an unsigned hex number into BIGINT.
+
+    Uses the first 15 hex chars (60 bits) so the value always fits a
+    signed 64-bit integer positively — ``conv`` of 16 chars could wrap
+    negative and engines disagree on overflow semantics.
+    """
+    digest = F.sha2(
+        F.encode(
+            F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")), "UTF-8"
+        ),
+        256,
+    )
+    return F.conv(F.substring(digest, 1, 15), 16, 10).cast("long")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "seed0",
+    n_shards: int = 0,
+) -> DataFrame:
+    """Add ``shuffle_key`` (and ``shard`` when ``n_shards > 0``) and return
+    the frame totally ordered by (key, id).
+
+    The order is a pure function of (seed, id): independent of input
+    partitioning, file layout, and cluster size.  Changing ``seed``
+    produces an uncorrelated new epoch order — multi-epoch training
+    shuffles by bumping the seed, never by re-randomizing state.
+    """
+    out = df.withColumn("shuffle_key", shuffle_key_expr(id_col, seed))
+    if n_shards > 0:
+        out = out.withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards)).cast("int")
+        )
+    return out.orderBy("shuffle_key", id_col)

@@ -1,0 +1,139 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.license import (
+    COPYLEFT,
+    PERMISSIVE,
+    detect_license,
+    filter_permissive_repos,
+    repo_license_rollup,
+)
+
+MIT_HEADER = (
+    "Copyright (c) 2020 Example\n\n"
+    "Permission is hereby granted, free of charge, to any person obtaining a "
+    "copy of this software and associated documentation files..."
+)
+APACHE_HEADER = (
+    "Licensed under the Apache License, Version 2.0 (the \"License\"); "
+    "you may not use this file except in compliance with the License."
+)
+GPL_HEADER = (
+    "This program is free software: you can redistribute it and/or modify it "
+    "under the terms of the GNU General Public License as published by the "
+    "Free Software Foundation."
+)
+LGPL_HEADER = (
+    "This library is free software; you can redistribute it under the terms "
+    "of the GNU Lesser General Public License."
+)
+BSD_HEADER = (
+    "Redistribution and use in source and binary forms, with or without "
+    "modification, are permitted provided that the following conditions are met:"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "repoA", "// SPDX-License-Identifier: Apache-2.0\ncode here"),
+        (2, "repoA", MIT_HEADER + "\nint main() {}"),
+        (3, "repoA", "no header at all, just code"),
+        (4, "repoB", GPL_HEADER + "\nvoid f() {}"),
+        (5, "repoB", APACHE_HEADER),
+        (6, "repoC", BSD_HEADER),
+        (7, "repoC", LGPL_HEADER),
+        (8, "repoD", None),
+        # precedence: explicit tag beats a conflicting phrase
+        (9, "repoE", "# SPDX-License-Identifier: GPL-3.0-only\n" + MIT_HEADER),
+        (10, "repoE", "/* SPDX-License-Identifier: BSD-2-Clause */"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, repo string, text string")
+
+
+def test_detect_classes(corpus):
+    got = {r["doc_id"]: r for r in detect_license(corpus).collect()}
+    assert got[1]["license_spdx"] == "Apache-2.0"
+    assert got[2]["license_spdx"] == "MIT"
+    assert got[3]["license_spdx"] is None
+    assert got[4]["license_spdx"] == "GPL-3.0"
+    assert got[5]["license_spdx"] == "Apache-2.0"
+    assert got[6]["license_spdx"] == "BSD-3-Clause"
+    assert got[7]["license_spdx"] == "LGPL-3.0"
+    assert got[8]["license_spdx"] is None  # NULL text must not throw
+    assert got[9]["license_spdx"] == "GPL-3.0-only"  # tag wins over phrase
+    assert got[10]["license_spdx"] == "BSD-2-Clause"
+
+
+def test_permissive_flag(corpus):
+    got = {r["doc_id"]: r["license_permissive"] for r in detect_license(corpus).collect()}
+    assert got[1] and got[2] and got[5] and got[6] and got[10]
+    # unknown is NOT permissive (permissive-only builds drop unlicensed files)
+    assert not got[3] and not got[8]
+    assert not got[4] and not got[7] and not got[9]
+
+
+def test_gpl_more_specific_than_lgpl_agpl(spark):
+    rows = [
+        (1, "GNU Affero General Public License applies"),
+        (2, "GNU Lesser General Public License applies"),
+        (3, "GNU General Public License applies"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["license_spdx"] for r in detect_license(df).collect()}
+    assert got[1] == "AGPL-3.0"
+    assert got[2] == "LGPL-3.0"
+    assert got[3] == "GPL-3.0"
+
+
+def test_header_beyond_clip_ignored(spark):
+    # a license phrase buried past the 4096-char header clip must not match
+    df = spark.createDataFrame(
+        [(1, "x" * 5000 + MIT_HEADER)], "doc_id long, text string"
+    )
+    assert detect_license(df).collect()[0]["license_spdx"] is None
+
+
+def test_repo_rollup_verdicts(corpus):
+    lic = detect_license(corpus)
+    got = {r["repo"]: r for r in repo_license_rollup(lic).collect()}
+    # repoA: Apache + MIT + unknown -> keep
+    assert got["repoA"]["keep"] and got["repoA"]["n_permissive"] == 2
+    assert got["repoA"]["n_copyleft"] == 0 and got["repoA"]["n_unknown"] == 1
+    # repoB: one GPL file poisons despite the Apache sibling
+    assert not got["repoB"]["keep"] and got["repoB"]["n_copyleft"] == 1
+    # repoC: BSD + LGPL -> poisoned
+    assert not got["repoC"]["keep"]
+    # repoD: only unknown -> no permissive evidence -> drop
+    assert not got["repoD"]["keep"] and got["repoD"]["n_unknown"] == 1
+    # repoE: GPL-3.0-only tag poisons; BSD-2-Clause sibling doesn't save it
+    assert not got["repoE"]["keep"] and got["repoE"]["n_copyleft"] == 1
+
+
+def test_filter_permissive_repos(corpus):
+    lic = detect_license(corpus)
+    kept = filter_permissive_repos(corpus, repo_license_rollup(lic))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+
+
+def test_detect_plan_row_local(corpus):
+    plan = detect_license(corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_filter_plan_broadcasts_verdicts(corpus):
+    lic = detect_license(corpus)
+    plan = (
+        filter_permissive_repos(corpus, repo_license_rollup(lic))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_spdx_sets_disjoint():
+    assert not (PERMISSIVE & COPYLEFT)

@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.chunking import chunk_documents
+from language_identification_spark.operators.ordering import deterministic_shuffle
+
+
+def _key(seed: str, doc_id: int) -> int:
+    return int(hashlib.sha256(f"{seed}|{doc_id}".encode()).hexdigest()[:15], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"word{j} " * 5) for i, j in zip(range(40), range(40))]
+    return spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+
+
+def test_shuffle_key_matches_stdlib_sha256(docs):
+    got = {r["doc_id"]: r["shuffle_key"] for r in deterministic_shuffle(docs).collect()}
+    for i in range(40):
+        assert got[i] == _key("seed0", i)
+
+
+def test_shuffle_order_is_total_and_partitioning_independent(docs):
+    a = [r["doc_id"] for r in deterministic_shuffle(docs).collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(docs.repartition(7)).collect()]
+    assert a == b  # same order regardless of input partitioning
+    assert sorted(a) == list(range(40)) and a != sorted(a)  # total + shuffled
+
+
+def test_shuffle_seed_changes_order(docs):
+    a = [r["doc_id"] for r in deterministic_shuffle(docs, seed="epoch0").collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(docs, seed="epoch1").collect()]
+    assert a != b
+
+
+def test_shards_row_local_and_consistent(docs):
+    out = deterministic_shuffle(docs, n_shards=4).collect()
+    for r in out:
+        assert r["shard"] == r["shuffle_key"] % 4
+
+
+def test_chunk_disjoint_windows_reassemble(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, max_tokens=4).collect(), key=lambda r: r["chunk_id"])
+    assert [r["chunk_n_tokens"] for r in rows] == [4, 4, 2]
+    assert " ".join(r["chunk_text"] for r in rows) == text
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+
+
+def test_chunk_overlap_stride(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_tokens=4, stride=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # starts 0,2,4,6,8 -> lengths 4,4,4,4,2
+    assert [r["chunk_n_tokens"] for r in rows] == [4, 4, 4, 4, 2]
+    assert rows[0]["chunk_text"].split()[2:] == rows[1]["chunk_text"].split()[:2]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, max_tokens=64).collect()
+    assert len(rows) == 1  # empty/whitespace/null docs emit nothing
+    assert rows[0]["doc_id"] == 1 and rows[0]["chunk_n_tokens"] == 3
+
+
+def test_chunk_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, stride=0)
+
+
+def test_chunk_plan_row_local(docs):
+    plan = (
+        chunk_documents(docs, max_tokens=8, stride=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
