@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (54/54) — including the model/LSH stages, re-derived in SQL
+EVERY query (55/55) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2933,6 +2933,126 @@ FROM starts
 """
 
 
+def _q_quality_lr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LR quality classifier: full-batch GD on-cluster (one
+    aggregation job per iteration, only the 4-vector gradient reaches the
+    driver), then row-local scoring with the weights folded in as
+    literals.  The oracle retrains independently in numpy on
+    DuckDB-derived exact-integer features and re-scores every doc in SQL
+    — bit-identical thanks to 9-decimal per-iteration weight quantization
+    (same discipline as ivf_topk_trained)."""
+    from language_identification_spark.models.train_lr import (
+        score_quality_lr,
+        train_quality_lr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = train_quality_lr(docs)
+    return score_quality_lr(docs, w)
+
+
+def _numpy_train_quality_lr(
+    len_milli: "np.ndarray",
+    punct_permilli: "np.ndarray",
+    stop_permilli: "np.ndarray",
+    label: "np.ndarray",
+    iters: int,
+    lr: float,
+) -> list[float]:
+    """Independent numpy re-derivation of the LR training trajectory —
+    used only to generate oracle weight literals.  Left-associated margin
+    and 9-decimal per-iteration weight quantization mirror the cross-
+    engine contract in models/train_lr.py."""
+    x1 = len_milli.astype(np.float64) / 1000.0
+    x2 = punct_permilli.astype(np.float64) / 1000.0
+    x3 = stop_permilli.astype(np.float64) / 1000.0
+    y = label.astype(np.float64)
+    n = float(len(y))
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        margin = ((w[0] + w[1] * x1) + w[2] * x2) + w[3] * x3
+        resid = 1.0 / (1.0 + np.exp(-margin)) - y
+        grads = [
+            float(resid.sum()),
+            float((resid * x1).sum()),
+            float((resid * x2).sum()),
+            float((resid * x3).sum()),
+        ]
+        w = [round(w[j] - lr * grads[j] / n, 9) for j in range(4)]
+    return w
+
+
+_SQL_LR_FEATURES = """
+  SELECT doc_id,
+         least(length(coalesce(text, '')) * 2, 1000) AS len_milli,
+         CAST(floor(CAST(length(regexp_replace(coalesce(text, ''),
+                  '[\\p{L}\\p{N}\\s]', '', 'g')) * 1000 AS DOUBLE)
+             / greatest(length(coalesce(text, '')), 1)) AS BIGINT) AS punct_permilli,
+         CAST(floor(CAST(len(list_filter(
+                  regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+                  x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))
+                  * 1000 AS DOUBLE)
+             / greatest(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                        END, 1)) AS BIGINT) AS stop_permilli
+  FROM documents
+"""
+
+
+def _sql_quality_lr_predict() -> str | None:
+    """Data-dependent oracle: retrain in numpy from DuckDB-derived integer
+    features, embed the weights as literals, re-score in SQL.  Returns
+    None (driver degrades to rows-only) if the table is unreadable."""
+    import os
+
+    from language_identification_spark.models.train_lr import (
+        DEFAULT_ITERS,
+        DEFAULT_LR,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        feats = con.sql(_SQL_LR_FEATURES).df()
+        con.close()
+    except Exception:  # noqa: BLE001 — any read failure degrades gracefully
+        return None
+    if feats.empty:
+        return None
+    label = (
+        (feats["len_milli"].to_numpy() >= 600)
+        & (feats["punct_permilli"].to_numpy() <= 150)
+    ).astype(np.int64)
+    w = _numpy_train_quality_lr(
+        feats["len_milli"].to_numpy(),
+        feats["punct_permilli"].to_numpy(),
+        feats["stop_permilli"].to_numpy(),
+        label,
+        DEFAULT_ITERS,
+        DEFAULT_LR,
+    )
+    return f"""
+WITH f AS ({_SQL_LR_FEATURES}),
+m AS (
+  SELECT doc_id,
+         ((({w[0]!r} + {w[1]!r} * (CAST(len_milli AS DOUBLE) / 1000.0))
+            + {w[2]!r} * (CAST(punct_permilli AS DOUBLE) / 1000.0))
+            + {w[3]!r} * (CAST(stop_permilli AS DOUBLE) / 1000.0)) AS margin
+  FROM f
+)
+SELECT doc_id,
+       CAST(floor(margin * 1000000.0) AS BIGINT) AS margin_micro,
+       (margin >= 0) AS pred
+FROM m
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -2989,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_repo_rollup": _q_license_repo_rollup,
         "shuffle_order": _q_shuffle_order,
         "chunk_documents": _q_chunk_documents,
+        "quality_lr_predict": _q_quality_lr_predict,
     }
 
 
@@ -3048,6 +3169,7 @@ def oracle_sql() -> dict[str, str]:
         "license_repo_rollup": _sql_license_repo_rollup(),
         "shuffle_order": _SQL_SHUFFLE_ORDER,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "quality_lr_predict": _sql_quality_lr_predict(),
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken
