@@ -474,6 +474,37 @@ def main() -> None:
     # pure-codegen row-local rewrite (no Exchange) and one grouped rollup
     timed("fim_transform", lambda: _noop(em._q_fim_transform(spark, SF_DIR)))
     timed("repo_rollup", lambda: _noop(em._q_repo_rollup(spark, SF_DIR)))
+    # license detection (row-local CASE chain) + repo rollup (one groupBy)
+    timed("license_detect", lambda: _noop(em._q_license_detect(spark, SF_DIR)))
+    timed(
+        "license_repo_rollup",
+        lambda: _noop(em._q_license_repo_rollup(spark, SF_DIR)),
+    )
+    # deterministic shuffle: row-local key + range-exchange total order
+    timed("shuffle_order", lambda: _noop(em._q_shuffle_order(spark, SF_DIR)))
+    # context-window chunking: row-local sequence+posexplode+slice
+    timed(
+        "chunk_documents", lambda: _noop(em._q_chunk_documents(spark, SF_DIR))
+    )
+    # vocabulary mining: exploded-token partial agg + TakeOrderedAndProject
+    timed("vocab_topk", lambda: _noop(em._q_vocab_topk(spark, SF_DIR)), runs=3)
+    # int8 quantization: d-row stats pass + row-local fold-in
+    timed(
+        "quantize_embeddings",
+        lambda: _noop(em._q_quantize_embeddings(spark, SF_DIR)),
+    )
+    # distributed LR training: DEFAULT_ITERS aggregation jobs + scoring —
+    # one sample (each run is itself 40 scans; min-of-3 would triple it)
+    timed(
+        "quality_lr_train_predict",
+        lambda: _noop(em._q_quality_lr_predict(spark, SF_DIR)),
+    )
+    # soft dedup weights: reuses the minhash pair miner + components, so it
+    # costs ~one jaccard_pairs pass — one sample
+    timed(
+        "dup_weighted_docs",
+        lambda: _noop(em._q_dup_weights(spark, SF_DIR)),
+    )
     # end-to-end semantic dedup (pairs -> star components -> representatives);
     # iterative star rounds each launch jobs, so min-of-3
     timed(

@@ -16,6 +16,9 @@ Stages (each optional stage is skipped unless its flag is given; every
 stage reads the previous stage's parquet, so a failed run resumes by
 re-submitting — completed stage outputs are detected and reused):
 
+0. **license filter** (``--license-filter``) — SPDX/header license
+   detection per file, repo-level rollup, permissive-only keep (one
+   copyleft file poisons the repo).
 1. **exact dedup** — first doc per sha256(content) survives.
 2. **line dedup** (``--line-dedup``) — C4/RefinedWeb-style cross-corpus
    repeated-line removal.
@@ -32,6 +35,9 @@ re-submitting — completed stage outputs are detected and reused):
 7. **packing** (``--pack-budget``) — every (doc, copy) assigned its
    training-sequence slot; ``--materialize`` also writes the packed
    sequence hashes (budget-bounded regroup).
+8. **shuffle** (``--shuffle-seed``) — deterministic training-order keys
+   (sha256(seed|id)) with shard assignment, written partitioned by
+   shard so trainers read shards independently.
 
 All stages are pure DataFrame plans: no collect(), no driver-side row
 loops; reruns are bit-identical (sha256-bucket determinism end to end).
@@ -71,6 +77,15 @@ def main() -> None:
     ap.add_argument("--rates", default=None,
                     help='JSON stratum->rate map, e.g. \'{"en": 0.35}\'')
     ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--license-filter", action="store_true",
+                    help="permissive-license repos only (SPDX/header "
+                    "detection + repo rollup)")
+    ap.add_argument("--repo-col", default="source",
+                    help="repository column for the license rollup")
+    ap.add_argument("--shuffle-seed", default=None,
+                    help="write a final shard-partitioned deterministic "
+                    "training-order shuffle with this seed")
+    ap.add_argument("--shuffle-shards", type=int, default=1024)
     ap.add_argument("--line-dedup", action="store_true")
     ap.add_argument("--span-dedup", type=int, default=None, metavar="N",
                     help="remove cross-doc repeated word N-gram spans "
@@ -128,6 +143,24 @@ def main() -> None:
             F.col("representative").alias(args.id_col)
         )
         return df.join(reps, args.id_col, "left_semi")
+
+    if args.license_filter:
+        from language_identification_spark.operators.license import (
+            detect_license,
+            filter_permissive_repos,
+            repo_license_rollup,
+        )
+
+        def _license_filter(df):
+            # keep license_spdx as corpus metadata; the boolean flag is
+            # redundant after the repo-level verdict is applied
+            lic = detect_license(df, text_col=args.text_col)
+            roll = repo_license_rollup(lic, repo_col=args.repo_col)
+            return filter_permissive_repos(
+                lic, roll, repo_col=args.repo_col
+            ).drop("license_permissive")
+
+        stage("license_filter", _license_filter)
 
     stage("exact_dedup", _exact_dedup_corpus)
 
@@ -249,6 +282,38 @@ def main() -> None:
                     seq_path,
                 )
             report["sequences"] = seq_path
+
+    if args.shuffle_seed is not None:
+        from language_identification_spark.operators.ordering import (
+            deterministic_shuffle,
+        )
+
+        shuffle_path = os.path.join(args.out, "shuffled")
+        if not _done(shuffle_path):
+            docs = spark.read.parquet(cur_path)
+            # after upsampling, (doc, copy) is the training unit — key the
+            # shuffle on the composite id so epoch copies of a document
+            # scatter across shards instead of stacking in one
+            if "copy_idx" in docs.columns:
+                docs = docs.withColumn(
+                    "_shuffle_id",
+                    F.concat_ws(
+                        "#", F.col(args.id_col).cast("string"), "copy_idx"
+                    ),
+                )
+                shuffled = deterministic_shuffle(
+                    docs, id_col="_shuffle_id",
+                    seed=args.shuffle_seed, n_shards=args.shuffle_shards,
+                ).drop("_shuffle_id")
+            else:
+                shuffled = deterministic_shuffle(
+                    docs, id_col=args.id_col,
+                    seed=args.shuffle_seed, n_shards=args.shuffle_shards,
+                )
+            shuffled.write.mode("overwrite").partitionBy("shard").parquet(
+                shuffle_path
+            )
+        report["shuffled"] = shuffle_path
 
     print(json.dumps(report))
     if owned:

@@ -132,3 +132,65 @@ def test_curation_job_span_dedup_stage(spark, tmp_path, monkeypatch, capsys):
     assert {"doc_id", "text", "lang"} <= set(
         spark.read.parquet(report["span_dedup"]).columns
     )
+
+
+def test_curation_job_license_and_shuffle_stages(
+    spark, tmp_path, monkeypatch, capsys
+):
+    import hashlib
+
+    mit = "Permission is hereby granted, free of charge, to anyone"
+    gpl = "under the terms of the GNU General Public License"
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, mit + " alpha beta", "repoA"),
+            (2, "no header here", "repoA"),
+            (3, gpl + " gamma delta", "repoB"),
+            (4, "// SPDX-License-Identifier: Apache-2.0\ncode", "repoB"),
+            (5, "headerless only", "repoC"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py",
+            "--source", src,
+            "--out", out,
+            "--group-col", "source",
+            "--license-filter",
+            "--shuffle-seed", "epoch0",
+            "--shuffle-shards", "2",
+        ],
+    )
+    run_curation.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    lic = spark.read.parquet(report["license_filter"])
+    # repoA survives (MIT + unlicensed sibling); repoB poisoned by GPL
+    # despite the Apache file; repoC has no permissive evidence
+    assert sorted(r["doc_id"] for r in lic.collect()) == [1, 2]
+    assert "license_spdx" in lic.columns
+    assert {
+        r["doc_id"]: r["license_spdx"] for r in lic.collect()
+    } == {1: "MIT", 2: None}
+
+    shuf = spark.read.parquet(report["shuffled"])
+    rows = shuf.collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    for r in rows:
+        key = int(
+            hashlib.sha256(f"epoch0|{r['doc_id']}".encode()).hexdigest()[:15], 16
+        )
+        assert r["shuffle_key"] == key and r["shard"] == key % 2
+    # shard-partitioned layout on disk
+    assert any(
+        name.startswith("shard=") for name in os.listdir(report["shuffled"])
+    )
