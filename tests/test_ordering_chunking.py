@@ -96,3 +96,31 @@ def test_chunk_plan_row_local(docs):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_chunk_sweep_matches_python_model(spark):
+    """One Spark job over a grid of (n_tokens, max_tokens, stride) cases;
+    every case's windows must equal the scalar Python model."""
+    cases = []
+    cid = 0
+    for n in (1, 2, 3, 5, 8, 13, 21, 47, 64, 100):
+        cases.append((cid, " ".join(f"w{i}" for i in range(n)), n))
+        cid += 1
+    df = spark.createDataFrame(
+        [(c[0], c[1]) for c in cases], "doc_id long, text string"
+    )
+    for max_tokens, stride in ((4, 4), (4, 2), (7, 3), (64, 48), (5, 1)):
+        got = {}
+        for r in chunk_documents(df, max_tokens=max_tokens, stride=stride).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_id"], r["chunk_n_tokens"], r["chunk_text"])
+            )
+        for cid_, text, n in cases:
+            toks = text.split()
+            expect = []
+            for k, start in enumerate(range(0, n, stride)):
+                win = toks[start : start + max_tokens]
+                expect.append((k, len(win), " ".join(win)))
+            assert sorted(got.get(cid_, [])) == expect, (
+                f"case n={n} max={max_tokens} stride={stride}"
+            )
