@@ -2708,6 +2708,102 @@ LIMIT 100
 """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: 8 merge iterations over the
+    distinct-word frequency table (one corpus scan; each iteration is a
+    partial-aggregated pair count + arg-max, only the winning pair reaches
+    the driver).  The oracle replays the identical iteration chain in
+    DuckDB as generated CTEs (pair counts via list_zip, the same
+    separator-doubling replace, the same count-desc/left/right tie-break)."""
+    from language_identification_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=8)
+
+
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary after 8 BPE merges: apply the learned merge list
+    to the word table and aggregate symbol frequencies (same shuffle shape
+    as vocab_topk, over symbols)."""
+    from language_identification_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(_docs(spark, sf_dir), n_merges=8, k=200)
+
+
+def _bpe_cte_chain(n_merges: int) -> str:
+    """Generated CTE chain replaying BPE training in pure SQL: w0 is the
+    character-seeded word table; each iteration i derives pair counts
+    (p{i}), the arg-max pair (b{i}), and the merged word table (w{i+1})
+    via the same separator-doubling non-overlapping replace the Spark
+    operator uses."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT word, freq,
+         array_to_string(regexp_split_to_array(word, ''), ' ') || ' </w>' AS sym
+  FROM (
+    SELECT t.word AS word, count(*) AS freq
+    FROM documents,
+         LATERAL unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'))
+             AS t(word)
+    WHERE length(t.word) >= 1
+    GROUP BY t.word
+  )
+)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT p[1] AS a, p[2] AS b, sum(freq) AS cnt
+  FROM (SELECT freq, unnest(list_zip(s[1:len(s)-1], s[2:])) AS p
+        FROM (SELECT freq, string_split(sym, ' ') AS s FROM w{i}))
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED "
+            f"(SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""w{i + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+              ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
+              ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' '),
+            '  ', ' ')) AS sym
+  FROM w{i}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _sql_bpe_merges(n_merges: int = 8) -> str:
+    chain = _bpe_cte_chain(n_merges)
+    unions = "\nUNION ALL\n".join(
+        f'SELECT {i + 1} AS merge_rank, a AS "left", b AS "right", cnt AS pair_count'
+        f" FROM b{i}"
+        for i in range(n_merges)
+    )
+    return f"""
+WITH {chain}
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+       "left", "right",
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM ({unions})
+ORDER BY merge_rank
+"""
+
+
+def _sql_bpe_vocab(n_merges: int = 8, k: int = 200) -> str:
+    chain = _bpe_cte_chain(n_merges)
+    return f"""
+WITH {chain}
+SELECT symbol, CAST(sum(freq) AS BIGINT) AS freq
+FROM (SELECT freq, unnest(string_split(sym, ' ')) AS symbol FROM w{n_merges})
+GROUP BY symbol
+ORDER BY freq DESC, symbol ASC
+LIMIT {k}
+"""
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table: per-dimension
     (min, max) stats pass (d-row aggregate, same driver-scalar budget as
@@ -3104,6 +3200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_rollup": _q_repo_rollup,
         "dup_weighted_docs": _q_dup_weights,
         "vocab_topk": _q_vocab_topk,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_vocab": _q_bpe_vocab,
         "quantize_embeddings": _q_quantize_embeddings,
         "license_detect": _q_license_detect,
         "license_repo_rollup": _q_license_repo_rollup,
@@ -3164,6 +3262,8 @@ def oracle_sql() -> dict[str, str]:
         "repo_rollup": _SQL_REPO_ROLLUP,
         "dup_weighted_docs": _sql_dup_weights(),
         "vocab_topk": _SQL_VOCAB_TOPK,
+        "bpe_merges": _sql_bpe_merges(),
+        "bpe_vocab": _sql_bpe_vocab(),
         "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
         "license_detect": _sql_license_detect(),
         "license_repo_rollup": _sql_license_repo_rollup(),

@@ -505,6 +505,9 @@ def main() -> None:
         "dup_weighted_docs",
         lambda: _noop(em._q_dup_weights(spark, SF_DIR)),
     )
+    # BPE tokenizer training: 8 iterations, each one pair-count job over
+    # the cached distinct-word table — one sample (iterative, like LR)
+    timed("bpe_merges", lambda: _noop(em._q_bpe_merges(spark, SF_DIR)))
     # end-to-end semantic dedup (pairs -> star components -> representatives);
     # iterative star rounds each launch jobs, so min-of-3
     timed(

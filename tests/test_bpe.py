@@ -1,0 +1,151 @@
+"""BPE tokenizer training vs an independent scalar reference model."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.bpe import (
+    END_OF_WORD,
+    apply_merges,
+    bpe_train,
+    bpe_vocab,
+    initial_symbols,
+    word_freqs,
+)
+
+
+def scalar_bpe(freqs: dict[str, int], n_merges: int):
+    """Classic driver-only BPE: returns (merges, final symbol seqs)."""
+    words = {w: tuple(list(w) + [END_OF_WORD]) for w in freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in freqs.items():
+            syms = words[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        a, b = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((rank, a, b, counts[(a, b)]))
+        for w in words:
+            syms = words[w]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+    return merges, words
+
+
+CORPUS = [
+    "low low low lower lowest",
+    "new newer newest low low",
+    "aaaa aaaa aa abab abab abab",  # overlapping-run merges
+    "widest wide wider new newer",
+    "low lowest abab aaaa new",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def scalar_freqs() -> dict[str, int]:
+    freqs: dict[str, int] = {}
+    for t in CORPUS:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    return freqs
+
+
+def test_word_freqs(docs):
+    got = {r["word"]: r["freq"] for r in word_freqs(docs).collect()}
+    assert got == scalar_freqs()
+
+
+def test_train_matches_scalar(docs):
+    n = 10
+    exp_merges, _ = scalar_bpe(scalar_freqs(), n)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=n).orderBy("merge_rank").collect()
+    ]
+    assert got == exp_merges
+
+
+def test_train_partition_invariant(docs):
+    base = bpe_train(docs, n_merges=6).collect()
+    reparted = bpe_train(docs.repartition(7), n_merges=6).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, reparted))
+
+
+def test_apply_merges_matches_scalar_segmentation(docs):
+    n = 10
+    merges, exp_words = scalar_bpe(scalar_freqs(), n)
+    words = word_freqs(docs).select(
+        "word", "freq", initial_symbols(F.col("word")).alias("sym")
+    )
+    final = apply_merges(words, [(m[1], m[2]) for m in merges])
+    got = {r["word"]: tuple(r["sym"].split(" ")) for r in final.collect()}
+    assert got == exp_words
+
+
+def test_vocab_matches_scalar(docs):
+    n = 10
+    merges, words = scalar_bpe(scalar_freqs(), n)
+    freqs = scalar_freqs()
+    exp: dict[str, int] = {}
+    for w, syms in words.items():
+        for s in syms:
+            exp[s] = exp.get(s, 0) + freqs[w]
+    got = {r["symbol"]: r["freq"] for r in bpe_vocab(docs, n_merges=n, k=1000).collect()}
+    assert got == exp
+
+
+def test_vocab_mass_conservation(docs):
+    """Total weighted symbol mass after merges = initial char mass minus
+    one per merge occurrence; equivalently every word contributes
+    freq * n_syms(word)."""
+    freqs = scalar_freqs()
+    _, words = scalar_bpe(freqs, 5)
+    exp_mass = sum(freqs[w] * len(syms) for w, syms in words.items())
+    got = bpe_vocab(docs, n_merges=5, k=1000).agg(F.sum("freq")).collect()[0][0]
+    assert got == exp_mass
+
+
+def test_pair_count_plan_partial_agg(docs):
+    """The per-iteration pair count must be partial-aggregated (map-side
+    combine before the Exchange) with no Python in the plan."""
+    from language_identification_spark.operators.bpe import (
+        _adjacent_pair_counts,
+    )
+
+    import contextlib
+    import io
+
+    words = word_freqs(docs).select(
+        "word", "freq", initial_symbols(F.col("word")).alias("sym")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _adjacent_pair_counts(words).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan  # map-side combine before the Exchange
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_n_merges_validation(docs):
+    with pytest.raises(ValueError):
+        bpe_train(docs, n_merges=0)
+    with pytest.raises(ValueError):
+        bpe_vocab(docs, k=0)
