@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (55/55) — including the model/LSH stages, re-derived in SQL
+EVERY query (60/60) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2804,6 +2804,217 @@ LIMIT {k}
 """
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus subword tokenization with the learned merges: training as in
+    bpe_merges, then a ROW-LOCAL encode — the whole document becomes one
+    symbol string and the 8 merges apply as chained codegen replaces (no
+    Exchange, no UDF, no broadcast vocabulary).  Sound because no learned
+    pair's left symbol ends in </w>, so replaces can't cross word
+    boundaries."""
+    from language_identification_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
+def _sql_bpe_encode(n_merges: int = 8) -> str:
+    chain = _bpe_cte_chain(n_merges)
+    expr = (
+        "array_to_string(list_transform("
+        "list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),"
+        " w -> w <> ''),"
+        " w -> array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>'), ' ')"
+    )
+    for i in range(n_merges):
+        a = f"(SELECT a FROM b{i})"
+        b = f"(SELECT b FROM b{i})"
+        expr = (
+            f"trim(replace(replace(' ' || replace({expr}, ' ', '  ') || ' ', "
+            f"' ' || {a} || '  ' || {b} || ' ', "
+            f"' ' || {a} || {b} || ' '), '  ', ' '))"
+        )
+    return f"""
+WITH {chain}
+SELECT doc_id,
+       CAST(len(list_filter(string_split(enc, ' '), x -> x <> '')) AS INTEGER)
+           AS n_subwords,
+       enc AS bpe
+FROM (SELECT doc_id, {expr} AS enc FROM documents)
+"""
+
+
+def _plant_imports(docs: DataFrame) -> DataFrame:
+    """Deterministically plant import headers: doc_id % 4 import lines,
+    line j naming module mod_{(doc_id*31 + j*17) % 40}, alternating the
+    ``import X`` / ``from X import helper`` forms."""
+    n = F.pmod(F.col("doc_id"), F.lit(4))
+    lines = []
+    for j in range(3):
+        k = F.pmod(F.col("doc_id") * 31 + j * 17, F.lit(40)).cast("string")
+        mod = F.concat(F.lit("mod_"), k)
+        line = (
+            F.concat(F.lit("import "), mod)
+            if j % 2 == 0
+            else F.concat(F.lit("from "), mod, F.lit(" import helper"))
+        )
+        lines.append(F.when(F.lit(j) < n, line))
+    hdr = F.concat_ws("\n", F.array_compact(F.array(*lines)))
+    planted = F.when(
+        n > 0, F.concat(hdr, F.lit("\n"), F.coalesce(F.col("text"), F.lit("")))
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", planted)
+
+
+def _module_owners(docs: DataFrame) -> DataFrame:
+    """Module-ownership table: mod_K belongs to the (K % 20)-th distinct
+    source in sorted order — derived from the corpus, no collect."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    srcs = docs.select("source").distinct().withColumn(
+        "rn", F.row_number().over(Window.orderBy("source"))
+    )
+    mods = spark.range(40).select(
+        F.concat(F.lit("mod_"), F.col("id").cast("string")).alias("module"),
+        (F.pmod(F.col("id"), F.lit(20)) + 1).cast("int").alias("rn"),
+    )
+    return mods.join(srcs, "rn").select("module", F.col("source").alias("repo"))
+
+
+def _q_import_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-graph mining: row-local regex extraction of import statements
+    from a 2048-char file prefix, joined through the module-ownership table
+    to distinct cross-repo dependency edges.  Content never shuffles — only
+    (doc_id, module) pairs leave the scan."""
+    from language_identification_spark.operators.graph import (
+        extract_imports,
+        repo_edges,
+    )
+
+    docs = _plant_imports(_docs(spark, sf_dir))
+    imports = extract_imports(docs)
+    doc_repos = docs.select("doc_id", F.col("source").alias("repo"))
+    return repo_edges(imports, doc_repos, _module_owners(docs)).orderBy("src", "dst")
+
+
+def _q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the mined repo dependency graph: 10 iterations
+    of exact ppb-integer arithmetic (edge contribution = rank DIV outdeg,
+    uniform dangling redistribution, 85% damping) — bit-identical across
+    engines and cluster sizes because every step is an order-independent
+    integer sum.  The oracle replays all 10 iterations as generated
+    materialized CTEs."""
+    from language_identification_spark.operators.graph import (
+        extract_imports,
+        pagerank_int,
+        repo_edges,
+    )
+
+    docs = _plant_imports(_docs(spark, sf_dir))
+    imports = extract_imports(docs)
+    doc_repos = docs.select("doc_id", F.col("source").alias("repo"))
+    edges = repo_edges(imports, doc_repos, _module_owners(docs))
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    return pagerank_int(nodes, edges, n_iters=10)
+
+
+def _sql_import_graph_ctes() -> str:
+    """Shared oracle CTEs: planted text -> imports -> owners -> edges."""
+    return """
+planted AS MATERIALIZED (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 > 0 THEN
+           array_to_string(list_transform(range(0, (doc_id % 4)::INT), j ->
+             CASE WHEN j % 2 = 0
+               THEN 'import mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+               ELSE 'from mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+                    || ' import helper'
+             END), chr(10)) || chr(10) || coalesce(text, '')
+         ELSE text END AS text
+  FROM documents
+),
+imports AS MATERIALIZED (
+  SELECT DISTINCT doc_id, m AS module
+  FROM planted,
+       LATERAL unnest(regexp_extract_all(
+         substr(coalesce(text, ''), 1, 2048),
+         '(?m)^(?:import|from)[ ]+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS t(m)
+),
+srcs AS MATERIALIZED (
+  SELECT source, row_number() OVER (ORDER BY source) AS rn
+  FROM (SELECT DISTINCT source FROM documents)
+),
+owners AS MATERIALIZED (
+  SELECT 'mod_' || i::VARCHAR AS module, s.source AS repo
+  FROM range(40) t(i) JOIN srcs s ON s.rn = (i % 20) + 1
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT p.source AS src, o.repo AS dst
+  FROM imports i
+  JOIN planted p ON p.doc_id = i.doc_id
+  JOIN owners o ON o.module = i.module
+  WHERE p.source <> o.repo
+)"""
+
+
+def _sql_import_edges() -> str:
+    return f"""
+WITH {_sql_import_graph_ctes()}
+SELECT src, dst FROM edges ORDER BY src, dst
+"""
+
+
+def _sql_repo_pagerank(n_iters: int = 10, damping_pct: int = 85) -> str:
+    base = _sql_import_graph_ctes()
+    parts = [
+        base,
+        """nn AS MATERIALIZED (SELECT count(DISTINCT source) AS n FROM documents)""",
+        """outdeg AS MATERIALIZED (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+)""",
+        """r0 AS MATERIALIZED (
+  SELECT source AS node, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT)
+         AS rank_ppb
+  FROM (SELECT DISTINCT source FROM documents)
+)""",
+    ]
+    for i in range(n_iters):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r.rank_ppb), 0) // (SELECT n FROM nn) AS share
+  FROM r{i} r LEFT JOIN outdeg o ON o.src = r.node
+  WHERE o.src IS NULL
+)"""
+        )
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(r.rank_ppb // o.outdeg) AS inflow
+  FROM edges e
+  JOIN r{i} r ON r.node = e.src
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS MATERIALIZED (
+  SELECT n.node,
+         CAST({100 - damping_pct} * (1000000000 // (SELECT n FROM nn)) // 100
+              + {damping_pct} * (coalesce(f.inflow, 0) + (SELECT share FROM d{i}))
+                // 100 AS BIGINT) AS rank_ppb
+  FROM (SELECT node FROM r0) n LEFT JOIN f{i} f ON f.node = n.node
+)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain}
+SELECT node, rank_ppb FROM r{n_iters}
+"""
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table: per-dimension
     (min, max) stats pass (d-row aggregate, same driver-scalar budget as
@@ -3202,6 +3413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "bpe_merges": _q_bpe_merges,
         "bpe_vocab": _q_bpe_vocab,
+        "bpe_encode_docs": _q_bpe_encode,
+        "import_edges": _q_import_edges,
+        "repo_pagerank": _q_repo_pagerank,
         "quantize_embeddings": _q_quantize_embeddings,
         "license_detect": _q_license_detect,
         "license_repo_rollup": _q_license_repo_rollup,
@@ -3264,6 +3478,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _SQL_VOCAB_TOPK,
         "bpe_merges": _sql_bpe_merges(),
         "bpe_vocab": _sql_bpe_vocab(),
+        "bpe_encode_docs": _sql_bpe_encode(),
+        "import_edges": _sql_import_edges(),
+        "repo_pagerank": _sql_repo_pagerank(),
         "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
         "license_detect": _sql_license_detect(),
         "license_repo_rollup": _sql_license_repo_rollup(),

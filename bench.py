@@ -508,6 +508,12 @@ def main() -> None:
     # BPE tokenizer training: 8 iterations, each one pair-count job over
     # the cached distinct-word table — one sample (iterative, like LR)
     timed("bpe_merges", lambda: _noop(em._q_bpe_merges(spark, SF_DIR)))
+    # row-local BPE encode with the merges learned above: one scan, zero
+    # Exchange — re-trains first (cheap at bench scale) then encodes
+    timed("bpe_encode", lambda: _noop(em._q_bpe_encode(spark, SF_DIR)))
+    # repo PageRank: 10 integer iterations over the mined import graph —
+    # per-iteration joins are repo-table-sized (broadcast class)
+    timed("repo_pagerank", lambda: _noop(em._q_repo_pagerank(spark, SF_DIR)))
     # end-to-end semantic dedup (pairs -> star components -> representatives);
     # iterative star rounds each launch jobs, so min-of-3
     timed(

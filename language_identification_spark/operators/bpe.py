@@ -153,6 +153,47 @@ def apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return out
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    out_col: str = "bpe",
+) -> DataFrame:
+    """Encode documents with a learned merge list — ROW-LOCAL, zero shuffle.
+
+    Instead of broadcast-joining a word→segmentation table, the whole
+    document becomes one symbol string (each word char-split with its
+    ``</w>`` marker) and the ordered merge list is applied as a chain of
+    pure-Catalyst string replaces.  This is sound because merges are
+    learned within words: no learned pair has a left symbol ending in
+    ``</w>`` (word-terminal symbols never have a right neighbor during
+    training), so a replace can never fire across a word boundary.
+
+    The result is the plan you want at 100 TB: one scan, whole-stage
+    codegen, no Exchange, no UDF, no driver-side vocabulary — the merge
+    list (a few thousand literals at production vocab sizes, 3 string ops
+    each) ships inside the plan itself.
+
+    Output: ``id_col``, ``n_subwords``, ``out_col`` (space-joined subword
+    symbols).
+    """
+    text = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    if lowercase:
+        text = F.lower(text)
+    words = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    sym: Column = F.array_join(F.transform(words, initial_symbols), " ")
+    for left, right in merges:
+        sym = _merge_expr(sym, left, right)
+    toks = F.filter(F.split(sym, " "), lambda x: x != F.lit(""))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_subwords"),
+        sym.alias(out_col),
+    )
+
+
 def bpe_vocab(
     df: DataFrame,
     text_col: str = "text",

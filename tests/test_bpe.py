@@ -144,6 +144,48 @@ def test_pair_count_plan_partial_agg(docs):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_encode_matches_scalar(docs, spark):
+    n = 10
+    merges, words = scalar_bpe(scalar_freqs(), n)
+    from language_identification_spark.operators.bpe import bpe_encode
+
+    got = {
+        r["doc_id"]: (r["n_subwords"], r["bpe"])
+        for r in bpe_encode(docs, [(m[1], m[2]) for m in merges]).collect()
+    }
+    for i, t in enumerate(CORPUS):
+        syms = [s for w in t.lower().split() for s in words[w]]
+        assert got[i] == (len(syms), " ".join(syms)), f"doc {i}"
+
+
+def test_encode_empty_and_null(spark):
+    from language_identification_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "  low  ")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_subwords"], r["bpe"]) for r in bpe_encode(
+        df, [("l", "o"), ("lo", "w")]
+    ).collect()}
+    assert got[0] == (0, "")
+    assert got[1] == (0, "")
+    assert got[2] == (2, "low </w>")
+
+
+def test_encode_plan_row_local(docs):
+    import contextlib
+    import io
+
+    from language_identification_spark.operators.bpe import bpe_encode
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bpe_encode(docs, [("l", "o"), ("e", "r")]).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_n_merges_validation(docs):
     with pytest.raises(ValueError):
         bpe_train(docs, n_merges=0)

@@ -1,0 +1,144 @@
+"""Import mining and integer PageRank vs a scalar reference model."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from language_identification_spark.operators.graph import (
+    SCALE,
+    extract_imports,
+    pagerank_int,
+    repo_edges,
+)
+
+
+def scalar_pagerank(nodes, edges, n_iters=10, damping=85):
+    n = len(nodes)
+    outdeg = Counter(s for s, _ in edges)
+    r = {v: SCALE // n for v in nodes}
+    tele = (100 - damping) * (SCALE // n) // 100
+    for _ in range(n_iters):
+        dangling = sum(r[v] for v in nodes if outdeg.get(v, 0) == 0)
+        share = dangling // n
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // outdeg[s]
+        r = {v: tele + damping * (inflow[v] + share) // 100 for v in nodes}
+    return r
+
+
+NODES = ["a", "b", "c", "d", "e"]
+# hub b, cycle a->b->c->a, dangling e, d -> b and d -> e
+EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "b"), ("d", "e")]
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    nodes = spark.createDataFrame([(v,) for v in NODES], "node string")
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    return nodes, edges
+
+
+def test_pagerank_matches_scalar(graph):
+    nodes, edges = graph
+    exp = scalar_pagerank(NODES, EDGES)
+    got = {r["node"]: r["rank_ppb"] for r in pagerank_int(nodes, edges).collect()}
+    assert got == exp
+
+
+def test_pagerank_partition_invariant(graph):
+    nodes, edges = graph
+    base = {r["node"]: r["rank_ppb"] for r in pagerank_int(nodes, edges).collect()}
+    rep = {
+        r["node"]: r["rank_ppb"]
+        for r in pagerank_int(nodes.repartition(5), edges.repartition(7)).collect()
+    }
+    assert base == rep
+
+
+def test_pagerank_hub_outranks_leaf(graph):
+    nodes, edges = graph
+    got = {r["node"]: r["rank_ppb"] for r in pagerank_int(nodes, edges).collect()}
+    assert got["b"] > got["d"]  # two in-edges vs none
+    assert all(v > 0 for v in got.values())
+
+
+def test_pagerank_no_edges(spark):
+    nodes = spark.createDataFrame([("x",), ("y",)], "node string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    got = {r["node"]: r["rank_ppb"] for r in pagerank_int(nodes, edges, n_iters=3).collect()}
+    exp = scalar_pagerank(["x", "y"], [], n_iters=3)
+    assert got == exp
+
+
+def test_pagerank_empty_nodes(spark):
+    nodes = spark.createDataFrame([], "node string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank_int(nodes, edges).count() == 0
+
+
+def test_pagerank_damping_validation(graph):
+    nodes, edges = graph
+    with pytest.raises(ValueError):
+        pagerank_int(nodes, edges, damping_pct=101)
+
+
+def test_extract_imports(spark):
+    text = (
+        "import os\n"
+        "from pkg.sub import thing\n"
+        "  import indented_not_at_line_start\n"
+        "x = 1\n"
+        "import late_but_in_header\n"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(r["module"] for r in extract_imports(df).collect())
+    assert got == ["late_but_in_header", "os", "pkg.sub"]
+
+
+def test_extract_imports_clip(spark):
+    # an import beyond the max_header clip is not scanned
+    text = ("x = 1\n" * 500) + "import too_late\n"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert extract_imports(df, max_header=100).count() == 0
+    assert extract_imports(df, max_header=10_000).count() == 1
+
+
+def test_extract_imports_dedup_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "import a\nimport a\n"), (2, None)], "doc_id long, text string"
+    )
+    rows = extract_imports(df).collect()
+    assert [(r["doc_id"], r["module"]) for r in rows] == [(1, "a")]
+
+
+def test_repo_edges_drops_unowned_and_self(spark):
+    imports = spark.createDataFrame(
+        [(1, "m1"), (1, "m2"), (2, "m1"), (1, "unowned")],
+        "doc_id long, module string",
+    )
+    doc_repos = spark.createDataFrame(
+        [(1, "r1"), (2, "r2")], "doc_id long, repo string"
+    )
+    owners = spark.createDataFrame(
+        [("m1", "r2"), ("m2", "r2")], "module string, repo string"
+    )
+    got = sorted(map(tuple, repo_edges(imports, doc_repos, owners).collect()))
+    # r2 importing m1 (owned by r2) is a self-edge -> dropped; unowned dropped;
+    # r1's two imports of r2-owned modules collapse to one distinct edge
+    assert got == [("r1", "r2")]
+
+
+def test_extract_plan_row_local(spark):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame([(1, "import a")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        extract_imports(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
