@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (60/60) — including the model/LSH stages, re-derived in SQL
+EVERY query (62/62) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -3015,6 +3015,132 @@ SELECT node, rank_ppb FROM r{n_iters}
 """
 
 
+_CODE_SNIPPETS = (
+    # {K} is replaced per-doc with (doc_id % 50) in both engines
+    "def fn_{K}(x):\n    # helper\n    if x > 0:\n        return x\n"
+    "    return 0\nclass Cls_{K}:\n    pass\n",
+    "function fn_{K}(x) {\n  // helper\n  for (;;) { }\n  return x\n}\n",
+    "func Fn_{K}(x int) int {\n\tif x > 0 {\n\t\treturn x\n\t}\n\treturn 0\n}\n",
+)
+
+
+def _plant_code_snippets(docs: DataFrame) -> DataFrame:
+    """Plant a language-varied code snippet on every 5th document
+    (variant = doc_id % 3, symbol index K = doc_id % 50) so the symbol
+    miner and metrics see real def/class/function/func structures."""
+    k = F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+    variants = []
+    for snip in _CODE_SNIPPETS:
+        pieces: list = []
+        for idx, part in enumerate(snip.split("{K}")):
+            if idx:
+                pieces.append(k)
+            pieces.append(F.lit(part))
+        variants.append(F.concat(*pieces))
+    snippet = F.element_at(
+        F.array(*variants), (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")
+    )
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.concat(snippet, F.coalesce(F.col("text"), F.lit(""))),
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", planted)
+
+
+def _q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-code symbol mining: multiline-regex extraction of
+    def/class/function/func definitions (row-local, no UDF), distinct per
+    (doc, kind, name)."""
+    from language_identification_spark.operators.codestats import mine_symbols
+
+    return mine_symbols(_plant_code_snippets(_docs(spark, sf_dir)))
+
+
+def _q_code_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file integer complexity metrics (lines, max length, max indent,
+    branch keywords, comment/blank counts and ppm ratios) — one row-local
+    projection, integer DIV ratios for engine-exact results."""
+    from language_identification_spark.operators.codestats import code_metrics
+
+    return code_metrics(_plant_code_snippets(_docs(spark, sf_dir)))
+
+
+def _sql_code_planted() -> str:
+    k_sql = "(doc_id % 50)::VARCHAR"
+    cases = []
+    for i, snip in enumerate(_CODE_SNIPPETS):
+        sql_parts = [
+            "'"
+            + part.replace("'", "''").replace("\n", "' || chr(10) || '")
+            + "'"
+            for part in snip.split("{K}")
+        ]
+        lit = f" || {k_sql} || ".join(sql_parts)
+        cases.append(f"        WHEN {i} THEN {lit}")
+    case_block = "\n".join(cases)
+    return f"""
+planted AS MATERIALIZED (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 5 = 0 THEN
+           (CASE doc_id % 3
+{case_block}
+            END) || coalesce(text, '')
+         ELSE text END AS text
+  FROM documents
+)"""
+
+
+def _sql_code_symbols() -> str:
+    from language_identification_spark.operators.codestats import _SYMBOL_PATTERNS
+
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{kind}' AS kind,
+       unnest(regexp_extract_all(coalesce(text, ''), '{pat}', 1)) AS name
+FROM planted"""
+        for kind, pat in _SYMBOL_PATTERNS
+    )
+    return f"""
+WITH {_sql_code_planted()}
+SELECT DISTINCT doc_id, kind, name FROM ({unions})
+"""
+
+
+def _sql_code_metrics() -> str:
+    from language_identification_spark.operators.codestats import (
+        BRANCH_RE,
+        COMMENT_RE,
+        PPM,
+    )
+
+    return f"""
+WITH {_sql_code_planted()}
+SELECT doc_id,
+       CAST(n_lines AS INTEGER) AS n_lines,
+       CAST(max_line_len AS INTEGER) AS max_line_len,
+       CAST(max_indent AS INTEGER) AS max_indent,
+       CAST(n_branches AS INTEGER) AS n_branches,
+       CAST(n_comment_lines AS INTEGER) AS n_comment_lines,
+       CAST(n_blank_lines AS INTEGER) AS n_blank_lines,
+       CAST(({PPM} * n_comment_lines) // n_lines AS BIGINT) AS comment_ppm,
+       CAST(({PPM} * n_blank_lines) // n_lines AS BIGINT) AS blank_ppm
+FROM (
+  SELECT doc_id,
+         len(ls) AS n_lines,
+         coalesce(list_max(list_transform(ls, x -> length(x))), 0)
+             AS max_line_len,
+         coalesce(list_max(list_transform(ls, x -> length(x) - length(ltrim(x)))), 0)
+             AS max_indent,
+         len(regexp_extract_all(t, '{BRANCH_RE}')) AS n_branches,
+         len(list_filter(ls, x -> regexp_matches(x, '{COMMENT_RE}')))
+             AS n_comment_lines,
+         len(list_filter(ls, x -> trim(x) = '')) AS n_blank_lines
+  FROM (SELECT doc_id, coalesce(text, '') AS t,
+               string_split(coalesce(text, ''), chr(10)) AS ls
+        FROM planted)
+)
+"""
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding table: per-dimension
     (min, max) stats pass (d-row aggregate, same driver-scalar budget as
@@ -3416,6 +3542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": _q_bpe_encode,
         "import_edges": _q_import_edges,
         "repo_pagerank": _q_repo_pagerank,
+        "code_symbols": _q_code_symbols,
+        "code_metrics": _q_code_metrics,
         "quantize_embeddings": _q_quantize_embeddings,
         "license_detect": _q_license_detect,
         "license_repo_rollup": _q_license_repo_rollup,
@@ -3481,6 +3609,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _sql_bpe_encode(),
         "import_edges": _sql_import_edges(),
         "repo_pagerank": _sql_repo_pagerank(),
+        "code_symbols": _sql_code_symbols(),
+        "code_metrics": _sql_code_metrics(),
         "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
         "license_detect": _sql_license_detect(),
         "license_repo_rollup": _sql_license_repo_rollup(),

@@ -514,6 +514,9 @@ def main() -> None:
     # repo PageRank: 10 integer iterations over the mined import graph —
     # per-iteration joins are repo-table-sized (broadcast class)
     timed("repo_pagerank", lambda: _noop(em._q_repo_pagerank(spark, SF_DIR)))
+    # code-structure mining: both row-local regex projections over the scan
+    timed("code_symbols", lambda: _noop(em._q_code_symbols(spark, SF_DIR)))
+    timed("code_metrics", lambda: _noop(em._q_code_metrics(spark, SF_DIR)))
     # end-to-end semantic dedup (pairs -> star components -> representatives);
     # iterative star rounds each launch jobs, so min-of-3
     timed(

@@ -1,0 +1,121 @@
+"""Symbol mining and code metrics vs scalar reference computations."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from language_identification_spark.operators.codestats import (
+    BRANCH_RE,
+    COMMENT_RE,
+    PPM,
+    code_metrics,
+    mine_symbols,
+)
+
+PY = (
+    "def top(x):\n"
+    "    # comment\n"
+    "    if x:\n"
+    "        return x\n"
+    "\n"
+    "class Widget:\n"
+    "    def method(self):\n"
+    "        pass\n"
+)
+JS = "function handler(evt) {\n  // cb\n  for (;;) { }\n}\n"
+GO = "func Main(x int) int {\n\tif x > 0 {\n\t\treturn x\n\t}\n\treturn 0\n}\n"
+DUP = "def twice():\n    pass\n\ndef twice():\n    pass\n"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, PY), (1, JS), (2, GO), (3, DUP), (4, None), (5, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_mine_symbols(docs):
+    got = sorted(
+        (r["doc_id"], r["kind"], r["name"]) for r in mine_symbols(docs).collect()
+    )
+    assert got == [
+        (0, "py_class", "Widget"),
+        (0, "py_function", "method"),
+        (0, "py_function", "top"),
+        (1, "js_function", "handler"),
+        (2, "go_func", "Main"),
+        (3, "py_function", "twice"),  # within-doc duplicates collapse
+    ]
+
+
+def scalar_metrics(text: str | None):
+    t = text or ""
+    ls = t.split("\n")
+    n_lines = len(ls)
+    max_len = max((len(x) for x in ls), default=0)
+    max_indent = max((len(x) - len(x.lstrip(" ")) for x in ls), default=0)
+    n_branches = len(re.findall(BRANCH_RE, t))
+    n_comment = sum(1 for x in ls if re.match(COMMENT_RE, x))
+    n_blank = sum(1 for x in ls if x.strip(" ") == "")
+    return (
+        n_lines,
+        max_len,
+        max_indent,
+        n_branches,
+        n_comment,
+        n_blank,
+        PPM * n_comment // n_lines,
+        PPM * n_blank // n_lines,
+    )
+
+
+def test_code_metrics_matches_scalar(docs):
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["max_line_len"],
+            r["max_indent"],
+            r["n_branches"],
+            r["n_comment_lines"],
+            r["n_blank_lines"],
+            r["comment_ppm"],
+            r["blank_ppm"],
+        )
+        for r in code_metrics(docs).collect()
+    }
+    for doc_id, text in [(0, PY), (1, JS), (2, GO), (3, DUP), (4, None), (5, "")]:
+        assert got[doc_id] == scalar_metrics(text), f"doc {doc_id}"
+
+
+def test_tab_indent_is_not_space_indent(docs):
+    # go's tab indentation must NOT count toward max_indent (space-only,
+    # matching DuckDB's ltrim default) — pins cross-engine parity
+    row = {r["doc_id"]: r for r in code_metrics(docs).collect()}[2]
+    assert row["max_indent"] == 0
+    # tab-indented lines are not blank; only the trailing "" after the
+    # final newline counts
+    assert row["n_blank_lines"] == 1
+
+
+def test_metrics_plan_row_local(docs):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        code_metrics(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_symbols_plan_no_python(docs):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mine_symbols(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
