@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (62/62) — including the model/LSH stages, re-derived in SQL
+EVERY query (63/63) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -2968,7 +2968,7 @@ SELECT src, dst FROM edges ORDER BY src, dst
 """
 
 
-def _sql_repo_pagerank(n_iters: int = 10, damping_pct: int = 85) -> str:
+def _sql_pagerank_chain(n_iters: int = 10, damping_pct: int = 85) -> str:
     base = _sql_import_graph_ctes()
     parts = [
         base,
@@ -3008,10 +3008,44 @@ def _sql_repo_pagerank(n_iters: int = 10, damping_pct: int = 85) -> str:
   FROM (SELECT node FROM r0) n LEFT JOIN f{i} f ON f.node = n.node
 )"""
         )
-    chain = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _sql_repo_pagerank(n_iters: int = 10, damping_pct: int = 85) -> str:
     return f"""
-WITH {chain}
+WITH {_sql_pagerank_chain(n_iters, damping_pct)}
 SELECT node, rank_ppb FROM r{n_iters}
+"""
+
+
+def _q_rank_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-weighted sampling inputs: every document joined (broadcast)
+    to its repo's PageRank with an exact-integer rank-proportional
+    weight_ppm — the graph stage feeding the mixture/upsample stages."""
+    from language_identification_spark.operators.graph import (
+        extract_imports,
+        pagerank_int,
+        rank_weights,
+        repo_edges,
+    )
+
+    docs = _plant_imports(_docs(spark, sf_dir))
+    imports = extract_imports(docs)
+    doc_repos = docs.select("doc_id", F.col("source").alias("repo"))
+    edges = repo_edges(imports, doc_repos, _module_owners(docs))
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    ranks = pagerank_int(nodes, edges, n_iters=10)
+    return rank_weights(_docs(spark, sf_dir), ranks)
+
+
+def _sql_rank_weighted_docs(n_iters: int = 10) -> str:
+    return f"""
+WITH {_sql_pagerank_chain(n_iters)}
+SELECT d.doc_id, d.source, r.rank_ppb,
+       CAST(r.rank_ppb * (SELECT count(*) FROM r{n_iters}) // 1000 AS BIGINT)
+           AS weight_ppm
+FROM documents d
+LEFT JOIN r{n_iters} r ON r.node = d.source
 """
 
 
@@ -3542,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_docs": _q_bpe_encode,
         "import_edges": _q_import_edges,
         "repo_pagerank": _q_repo_pagerank,
+        "rank_weighted_docs": _q_rank_weighted_docs,
         "code_symbols": _q_code_symbols,
         "code_metrics": _q_code_metrics,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -3609,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_docs": _sql_bpe_encode(),
         "import_edges": _sql_import_edges(),
         "repo_pagerank": _sql_repo_pagerank(),
+        "rank_weighted_docs": _sql_rank_weighted_docs(),
         "code_symbols": _sql_code_symbols(),
         "code_metrics": _sql_code_metrics(),
         "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,

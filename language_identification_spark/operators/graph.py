@@ -96,6 +96,37 @@ def repo_edges(
     return e
 
 
+def rank_weights(
+    df: DataFrame,
+    ranks: DataFrame,
+    repo_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sampling weights from repo PageRank: ``id_col``,
+    ``repo_col``, ``rank_ppb``, ``weight_ppm``.
+
+    ``weight_ppm = rank_ppb * n_repos DIV 1000`` — an exact-integer
+    rank-proportional multiplier normalized so a uniform-rank repo gets
+    ~1_000_000 ppm (weight 1.0).  Rank-weighted upsampling then feeds the
+    mixture/packing stages: widely-depended-on code is repeated more,
+    leaf forks less.
+
+    Scale shape: ``ranks`` is O(#repos) and broadcasts; the corpus never
+    shuffles — the join adds two integer columns where each row lives.
+    Repos absent from ``ranks`` weight to NULL so callers can choose a
+    default rather than silently sampling at 0.
+    """
+    n = ranks.count()
+    r = ranks.select(
+        F.col("node").alias(repo_col),
+        "rank_ppb",
+        F.expr(f"rank_ppb * {n} DIV 1000").alias("weight_ppm"),
+    )
+    return df.select(id_col, repo_col).join(F.broadcast(r), repo_col, "left").select(
+        id_col, repo_col, "rank_ppb", "weight_ppm"
+    )
+
+
 def pagerank_int(
     nodes: DataFrame,
     edges: DataFrame,

@@ -86,6 +86,24 @@ def test_pagerank_damping_validation(graph):
         pagerank_int(nodes, edges, damping_pct=101)
 
 
+def test_rank_weights(graph, spark):
+    from language_identification_spark.operators.graph import rank_weights
+
+    nodes, edges = graph
+    ranks = pagerank_int(nodes, edges, n_iters=3)
+    exp = scalar_pagerank(NODES, EDGES, n_iters=3)
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz-unranked")], "doc_id long, source string"
+    )
+    got = {r["doc_id"]: (r["rank_ppb"], r["weight_ppm"]) for r in rank_weights(
+        docs, ranks
+    ).collect()}
+    n = len(NODES)
+    assert got[1] == (exp["a"], exp["a"] * n // 1000)
+    assert got[2] == (exp["b"], exp["b"] * n // 1000)
+    assert got[3] == (None, None)  # unranked repo -> NULL, not silent 0
+
+
 def test_extract_imports(spark):
     text = (
         "import os\n"
