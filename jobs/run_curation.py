@@ -99,8 +99,17 @@ def main() -> None:
     ap.add_argument("--pack-shards", type=int, default=1024)
     ap.add_argument("--materialize", action="store_true",
                     help="also write packed sequence hashes")
+    ap.add_argument("--rank-weighting", action="store_true",
+                    help="annotate docs with import-graph PageRank "
+                    "sampling weights (requires --module-owners)")
+    ap.add_argument("--module-owners", default=None,
+                    help="parquet (module, repo) ownership table mapping "
+                    "imported module names to owning repos")
+    ap.add_argument("--pagerank-iters", type=int, default=10)
     ap.add_argument("--app-name", default="curation")
     args = ap.parse_args()
+    if args.rank_weighting and not args.module_owners:
+        ap.error("--rank-weighting requires --module-owners")
 
     from language_identification_spark.operators.dedup import exact_dedup
     from language_identification_spark.operators.decontaminate import decontaminate
@@ -215,6 +224,40 @@ def main() -> None:
                 default_rate=args.default_rate,
             ),
         )
+
+    if args.rank_weighting:
+        from language_identification_spark.operators.graph import (
+            extract_imports,
+            pagerank_int,
+            rank_weights,
+            repo_edges,
+        )
+
+        def _rank_weighting(df):
+            # graph over the CURRENT corpus (post-dedup/filter): ranks
+            # reflect what actually ships.  The rank table is O(#repos)
+            # and broadcasts; the corpus gains two integer columns where
+            # each row lives — no content shuffle.
+            owners = spark.read.parquet(args.module_owners)
+            imports = extract_imports(df, text_col=args.text_col,
+                                      id_col=args.id_col)
+            doc_repos = df.select(
+                args.id_col, F.col(args.repo_col).alias("repo")
+            )
+            edges = repo_edges(imports, doc_repos, owners)
+            nodes = df.select(F.col(args.repo_col).alias("node")).distinct()
+            ranks = pagerank_int(nodes, edges, n_iters=args.pagerank_iters)
+            rw = rank_weights(
+                df, ranks, repo_col=args.repo_col, id_col=args.id_col
+            ).select(
+                args.id_col,
+                "rank_ppb",
+                # unranked repos sample at weight 1.0, explicitly
+                F.coalesce("weight_ppm", F.lit(1_000_000)).alias("weight_ppm"),
+            )
+            return df.join(rw, args.id_col)
+
+        stage("rank_weighting", _rank_weighting)
 
     profile_path = os.path.join(args.out, "profile")
     if not _done(profile_path):

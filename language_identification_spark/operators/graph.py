@@ -143,16 +143,36 @@ def pagerank_int(
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
     spark = nodes.sparkSession
+    # nodes/edges usually derive from a full corpus scan (import mining);
+    # persist everything the iteration loop touches so each of the
+    # n_iters rounds is a rank-table-sized job, not a corpus re-scan
+    nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
+        nodes.unpersist()
         return spark.createDataFrame([], "node string, rank_ppb long")
     teleport = (100 - damping_pct) * (SCALE // n) // 100
 
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     ed = edges.join(outdeg, "src").persist()
     ed.count()
 
-    ranks = nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_ppb")).persist()
+    def _cut(df: DataFrame) -> DataFrame:
+        # LINEAGE CUT, not just a cache: each iteration's plan embeds the
+        # previous ranks subtree three times (dangling anti-join, inflow
+        # join, next-rank join), so without truncation the logical plan —
+        # and Catalyst's analysis time — grows geometrically with
+        # iterations even though persist() caches the data.  Reliable
+        # checkpoint when a checkpoint dir is configured (cluster path),
+        # localCheckpoint otherwise (single-node path).
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    ranks = _cut(
+        nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_ppb"))
+    )
     try:
         for _ in range(n_iters):
             # dangling mass: nodes with no out-edges
@@ -171,9 +191,8 @@ def pagerank_int(
                 .groupBy("node")
                 .agg(F.sum("contrib").alias("inflow"))
             )
-            nxt = (
-                nodes.join(inflow, "node", "left")
-                .select(
+            ranks = _cut(
+                nodes.join(inflow, "node", "left").select(
                     "node",
                     (
                         F.lit(teleport)
@@ -182,11 +201,9 @@ def pagerank_int(
                         )
                     ).cast("long").alias("rank_ppb"),
                 )
-                .persist()
             )
-            nxt.count()
-            ranks.unpersist()
-            ranks = nxt
         return ranks
     finally:
         ed.unpersist()
+        outdeg.unpersist()
+        nodes.unpersist()

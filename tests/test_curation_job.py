@@ -194,3 +194,71 @@ def test_curation_job_license_and_shuffle_stages(
     assert any(
         name.startswith("shard=") for name in os.listdir(report["shuffled"])
     )
+
+
+def test_curation_job_rank_weighting_stage(spark, tmp_path, monkeypatch, capsys):
+    """--rank-weighting: mine imports from the corpus, pagerank the repo
+    graph, annotate every doc with integer weights; unranked repos get 1.0."""
+    src = str(tmp_path / "docs.parquet")
+    # repoA imports libB (owned by repoB) => edge A->B; repoB imports
+    # nothing owned; repoC imports libB too => C->B. B is the hub.
+    spark.createDataFrame(
+        [
+            (1, "import libB\nalpha beta", "repoA"),
+            (2, "from libB import thing\ncode", "repoC"),
+            (3, "no imports here", "repoB"),
+            (4, "import os\nstdlib only", "repoA"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    owners = str(tmp_path / "owners.parquet")
+    spark.createDataFrame(
+        [("libB", "repoB")], "module string, repo string"
+    ).write.parquet(owners)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py",
+            "--source", src,
+            "--out", out,
+            "--group-col", "source",
+            "--rank-weighting",
+            "--module-owners", owners,
+            "--pagerank-iters", "5",
+        ],
+    )
+    run_curation.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rw = spark.read.parquet(report["rank_weighting"])
+    got = {r["source"]: (r["rank_ppb"], r["weight_ppm"]) for r in rw.collect()}
+    # scalar integer pagerank over nodes {A,B,C}, edges A->B, C->B
+    from tests.test_graph import scalar_pagerank
+
+    exp = scalar_pagerank(["repoA", "repoB", "repoC"],
+                          [("repoA", "repoB"), ("repoC", "repoB")], n_iters=5)
+    for repo_name in ("repoA", "repoB", "repoC"):
+        assert got[repo_name] == (exp[repo_name], exp[repo_name] * 3 // 1000)
+    # the hub outranks the leaves, and every doc kept its metadata
+    assert got["repoB"][0] > got["repoA"][0]
+    assert rw.count() == 4 and "text" in rw.columns
+
+
+def test_rank_weighting_requires_owners(monkeypatch):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["run_curation.py", "--source", "s", "--out", "o", "--rank-weighting"],
+    )
+    with pytest.raises(SystemExit):
+        run_curation.main()
