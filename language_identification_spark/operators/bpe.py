@@ -116,30 +116,37 @@ def bpe_train(
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     spark = df.sparkSession
-    cur = (
-        word_freqs(df, text_col=text_col, lowercase=lowercase)
-        .select("word", "freq", initial_symbols(F.col("word")).alias("sym"))
-        .persist()
+
+    def _cut(d: DataFrame) -> DataFrame:
+        # lineage cut per iteration: persist alone caches data but leaves
+        # the logical plan nesting one merge-rewrite deeper each round —
+        # at production merge counts (10^3+) Catalyst analysis goes
+        # quadratic and codegen depth explodes.  Reliable checkpoint when
+        # a checkpoint dir is configured, localCheckpoint otherwise (same
+        # policy as pagerank_int / connected_components).
+        sc = d.sparkSession.sparkContext
+        if sc.getCheckpointDir():
+            return d.checkpoint(eager=True)
+        return d.localCheckpoint(eager=True)
+
+    cur = _cut(
+        word_freqs(df, text_col=text_col, lowercase=lowercase).select(
+            "word", "freq", initial_symbols(F.col("word")).alias("sym")
+        )
     )
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        for rank in range(1, n_merges + 1):
-            best = (
-                _adjacent_pair_counts(cur)
-                .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
-            merges.append((rank, a, b, int(cnt)))
-            nxt = cur.withColumn("sym", _merge_expr(F.col("sym"), a, b)).persist()
-            nxt.count()  # materialize before dropping the parent
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+    for rank in range(1, n_merges + 1):
+        best = (
+            _adjacent_pair_counts(cur)
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merges.append((rank, a, b, int(cnt)))
+        cur = _cut(cur.withColumn("sym", _merge_expr(F.col("sym"), a, b)))
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
