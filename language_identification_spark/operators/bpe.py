@@ -104,6 +104,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     lowercase: bool = True,
+    cut_every: int = 16,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; return the merge table.
 
@@ -117,13 +118,20 @@ def bpe_train(
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     spark = df.sparkSession
 
+    if cut_every <= 0:
+        raise ValueError(f"cut_every must be positive, got {cut_every}")
+
     def _cut(d: DataFrame) -> DataFrame:
-        # lineage cut per iteration: persist alone caches data but leaves
-        # the logical plan nesting one merge-rewrite deeper each round —
-        # at production merge counts (10^3+) Catalyst analysis goes
-        # quadratic and codegen depth explodes.  Reliable checkpoint when
-        # a checkpoint dir is configured, localCheckpoint otherwise (same
-        # policy as pagerank_int / connected_components).
+        # lineage cut: unlike PageRank's geometric plan growth, the merge
+        # chain references its input ONCE per iteration, so the plan only
+        # deepens linearly — but at production merge counts (10^3+) an
+        # uncut chain still makes Catalyst analysis quadratic-total and
+        # codegen depth unbounded.  Cutting every ``cut_every`` rounds
+        # bounds plan depth at ~3*cut_every string ops while paying the
+        # materialization cost 1/cut_every as often as an every-round
+        # cut.  Reliable checkpoint when a checkpoint dir is configured,
+        # localCheckpoint otherwise (same policy as pagerank_int /
+        # connected_components).
         sc = d.sparkSession.sparkContext
         if sc.getCheckpointDir():
             return d.checkpoint(eager=True)
@@ -146,7 +154,9 @@ def bpe_train(
             break
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         merges.append((rank, a, b, int(cnt)))
-        cur = _cut(cur.withColumn("sym", _merge_expr(F.col("sym"), a, b)))
+        cur = cur.withColumn("sym", _merge_expr(F.col("sym"), a, b))
+        if rank % cut_every == 0:
+            cur = _cut(cur)
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
