@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (63/63) — including the model/LSH stages, re-derived in SQL
+EVERY query (64/64) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -1317,13 +1317,18 @@ FROM (
 """
 
 
-def _sql_minhash_pairs() -> str:
+def _sql_minhash_pairs(pair_predicate: str = "") -> str:
     """Full MinHash→LSH→exact-Jaccard oracle: FNV byte-trigram shingles,
     the 64 fixed (a,b) permutations via HUGEINT wraparound arithmetic,
     16x4 banding with the same string band keys and the 64-member bucket
     cap, then exact set Jaccard on the surviving candidate pairs.  Every
     stage is integer-exact, so the pair set and jaccard_milli must match
-    the Spark operator bit for bit."""
+    the Spark operator bit for bit.
+
+    ``pair_predicate``: optional extra AND-clause on the candidate join
+    (columns ``a.doc_id`` / ``b.doc_id``) — the incremental-dedup oracle
+    restricts to pairs touching the delta split; banding and the bucket
+    cap stay GLOBAL, mirroring the Spark operator's combined band table."""
     from language_identification_spark.hashing import (
         FNV_OFFSET,
         FNV_PRIME,
@@ -1405,6 +1410,7 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM capped a JOIN capped b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       {pair_predicate}
 ),
 sets AS (
   SELECT doc_id, list(s) AS sl, count(*) AS n FROM sh GROUP BY doc_id
@@ -1549,6 +1555,29 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     return jaccard_pairs(docs, "text", "doc_id", threshold=0.5).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round(F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"),
+    )
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: documents split into a committed lake
+    (doc_id % 10 != 0) and a new delta batch (doc_id % 10 == 0); the
+    operator finds every near-dup pair touching the delta without pairing
+    lake×lake.  The oracle is the full minhash chain restricted to pairs
+    with a delta side — banding/capping stay global, matching the
+    operator's combined band table."""
+    from language_identification_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    lake = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 0)
+    delta = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    return incremental_jaccard_pairs(
+        lake, delta, "text", "doc_id", threshold=0.5
+    ).select(
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),
         F.round(F.col("jaccard") * 1000).cast("long").alias("jaccard_milli"),
@@ -3577,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_edges": _q_import_edges,
         "repo_pagerank": _q_repo_pagerank,
         "rank_weighted_docs": _q_rank_weighted_docs,
+        "incremental_dedup_pairs": _q_incremental_dedup,
         "code_symbols": _q_code_symbols,
         "code_metrics": _q_code_metrics,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -3645,6 +3675,9 @@ def oracle_sql() -> dict[str, str]:
         "import_edges": _sql_import_edges(),
         "repo_pagerank": _sql_repo_pagerank(),
         "rank_weighted_docs": _sql_rank_weighted_docs(),
+        "incremental_dedup_pairs": _sql_minhash_pairs(
+            "AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)"
+        ),
         "code_symbols": _sql_code_symbols(),
         "code_metrics": _sql_code_metrics(),
         "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,

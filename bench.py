@@ -514,6 +514,12 @@ def main() -> None:
     # repo PageRank: 10 integer iterations over the mined import graph —
     # per-iteration joins are repo-table-sized (broadcast class)
     timed("repo_pagerank", lambda: _noop(em._q_repo_pagerank(spark, SF_DIR)))
+    # incremental near-dedup: delta vs lake — costs ~one banding pass over
+    # the combined features, never the lake self-join
+    timed(
+        "incremental_dedup_pairs",
+        lambda: _noop(em._q_incremental_dedup(spark, SF_DIR)),
+    )
     # code-structure mining: both row-local regex projections over the scan
     timed("code_symbols", lambda: _noop(em._q_code_symbols(spark, SF_DIR)))
     timed("code_metrics", lambda: _noop(em._q_code_metrics(spark, SF_DIR)))

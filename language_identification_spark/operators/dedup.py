@@ -303,6 +303,15 @@ def jaccard_pairs(
     pairs = _pairs_from_bands(
         _band_table(feat.select(id_col, "sig"), id_col, max_bucket), id_col
     )
+    return _verify_candidate_pairs(pairs, feat, id_col, threshold)
+
+
+def _verify_candidate_pairs(
+    pairs: DataFrame, feat: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate ``(id_a, id_b)``
+    pairs against a materialized feature table (see ``jaccard_pairs`` for
+    the content-hash collapse rationale)."""
     # ids → content hashes (scalar columns only — the arrays stay put)
     idh = feat.select(id_col, "ch")
     pairs_h = pairs.join(
@@ -347,6 +356,89 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def incremental_jaccard_pairs(
+    lake: DataFrame,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_bucket: int = MAX_BUCKET,
+    lake_staging: str | None = None,
+) -> DataFrame:
+    """Near-dedup a NEW batch against the committed lake — the production
+    daily-ingest shape: find every near-dup pair touching the delta
+    (delta×lake and delta×delta) WITHOUT ever pairing lake×lake.
+
+    Why not just run ``jaccard_pairs(lake ∪ delta)``?  At 100 TB the lake
+    dominates: its internal pairs were already mined when it was built,
+    and re-pairing them makes every nightly increment cost as much as the
+    initial backfill.  Here the lake side contributes only its feature
+    table (signatures + shingle sets — ~100× smaller than content; pass
+    ``lake_staging`` to reuse a staged parquet across increments so lake
+    content is never re-scanned), the band self-join carries an origin
+    flag, and the join condition requires at least one delta side — so
+    lake×lake candidates are pruned INSIDE the join, not filtered after.
+
+    The bucket-size skew cap is computed over the COMBINED band table
+    (lake ∪ delta), so the pair set is exactly
+    ``jaccard_pairs(lake ∪ delta)`` restricted to pairs touching the
+    delta — which is what the DuckDB oracle replays.
+
+    Output matches ``jaccard_pairs``: ``id_a``, ``id_b``, ``jaccard``
+    (ids may come from either side; id_a < id_b).
+    """
+    f = features_udf(F.col(text_col))
+
+    def _feat(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            f.getField("sig").alias("sig"),
+            f.getField("sh").alias("sh"),
+            F.sha2(
+                F.encode(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))), "UTF-8"
+                ),
+                256,
+            ).alias("ch"),
+        )
+
+    feat_lake = _feat(lake)
+    if lake_staging is not None:
+        feat_lake.write.mode("overwrite").parquet(lake_staging)
+        feat_lake = lake.sparkSession.read.parquet(lake_staging)
+    feat = (
+        feat_lake.withColumn("is_delta", F.lit(False))
+        .unionByName(_feat(delta).withColumn("is_delta", F.lit(True)))
+        .persist()
+    )
+    feat.count()
+    try:
+        bands = _band_table(
+            feat.select(id_col, "sig"), id_col, max_bucket
+        ).join(feat.select(id_col, "is_delta"), id_col)
+        a, b = bands.alias("a"), bands.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                # at least one delta side: lake×lake never materializes
+                & (F.col("a.is_delta") | F.col("b.is_delta")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        out = _verify_candidate_pairs(pairs, feat, id_col, threshold)
+        # materialize before unpersisting the feature table the plan reads
+        return out.localCheckpoint(eager=True)
+    finally:
+        feat.unpersist()
 
 
 def winnow_dup_pairs(

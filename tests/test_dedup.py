@@ -297,3 +297,74 @@ def test_winnow_dup_pairs_staged_matches_local(spark, tmp_path):
     )
     assert staged == local and len(local) >= 1
     assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+
+
+def test_incremental_jaccard_pairs(spark):
+    """incremental(lake, delta) == jaccard_pairs(lake ∪ delta) restricted
+    to pairs touching the delta — and lake×lake pairs never appear."""
+    from language_identification_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        jaccard_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the fence and the birds sing in the morning sun "
+    )
+    rows = [
+        # lake-internal near-dup cluster (ids 1,3)
+        (1, base + "alpha ending one"),
+        (3, base + "alpha ending two"),
+        # cross-boundary near-dup: 5 (lake) ≈ 10 (delta)
+        (5, base + "beta variation xyz"),
+        (10, base + "beta variation xyw"),
+        # delta-internal near-dup cluster (ids 20, 30)
+        (20, base + "gamma tail marker"),
+        (30, base + "gamma tail marked"),
+        # unrelated doc
+        (7, "completely different text with no overlap whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lake = docs.filter("doc_id % 10 != 0")
+    delta = docs.filter("doc_id % 10 = 0")
+
+    inc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in incremental_jaccard_pairs(
+            lake, delta, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    exp = {k: v for k, v in full.items() if k[0] % 10 == 0 or k[1] % 10 == 0}
+    assert inc == exp
+    # the cross-boundary and delta-internal pairs were actually found
+    assert (5, 10) in inc and (20, 30) in inc
+    # lake-internal pair exists in the full run but NOT in the incremental
+    assert (1, 3) in full and (1, 3) not in inc
+
+
+def test_incremental_lake_staging(spark, tmp_path):
+    from language_identification_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll"),
+         (10, "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk llm")],
+        "doc_id long, text string",
+    )
+    staged = str(tmp_path / "lake_feat")
+    got = incremental_jaccard_pairs(
+        docs.filter("doc_id = 1"), docs.filter("doc_id = 10"),
+        "text", "doc_id", threshold=0.3, lake_staging=staged,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 10)]
+    # the staged feature table exists and carries no content column
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(staged, "_SUCCESS"))
+    cols = spark.read.parquet(staged).columns
+    assert "text" not in cols and set(cols) >= {"doc_id", "sig", "sh", "ch"}
