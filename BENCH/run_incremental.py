@@ -1,0 +1,81 @@
+"""Incremental-dedup scaling evidence: increment cost vs lake size.
+
+The claim `incremental_jaccard_pairs` exists to back: a nightly
+increment costs O(delta + collisions), NOT O(lake²) — so growing the
+committed lake must not grow the increment wall proportionally.  This
+harness holds the delta fixed (every 20th doc of the sf0.1 corpus,
+5,000 docs) and doubles the lake twice (~24k → ~48k → ~95k docs),
+timing the full increment (delta feature pass + combined banding +
+pruned join + exact verification) at each size after one untimed
+warmup pass.  The lake feature pass is included — the measured growth
+is therefore an UPPER bound on the staged-lake deployment, where
+`lake_staging` amortizes that pass across increments.
+
+Usage: python BENCH/run_incremental.py   (writes one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from language_identification_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+    )
+    from language_identification_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("incremental-scaling", cores=32)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    delta = docs.filter("doc_id % 20 = 0")
+    n_delta = delta.count()
+    max_id = docs.agg({"doc_id": "max"}).collect()[0][0] + 1
+
+    points = []
+    for frac in (0.25, 0.5, 1.0):
+        cutoff = int(max_id * frac)
+        lake = docs.filter(f"doc_id % 20 != 0 AND doc_id < {cutoff}")
+        n_lake = lake.count()
+        walls = []
+        for i in range(3):  # pass 0 is warmup
+            t = time.time()
+            n_pairs = incremental_jaccard_pairs(
+                lake, delta, "text", "doc_id", threshold=0.5
+            ).count()
+            walls.append(round(time.time() - t, 3))
+        points.append(
+            {
+                "lake_docs": n_lake,
+                "pairs": n_pairs,
+                "warmup_s": walls[0],
+                "wall_s": min(walls[1:]),
+            }
+        )
+        print(f"[incremental] lake={n_lake}: {points[-1]}", file=sys.stderr)
+
+    growth = round(points[-1]["wall_s"] / points[0]["wall_s"], 3)
+    lake_growth = round(points[-1]["lake_docs"] / points[0]["lake_docs"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "incremental_dedup_wall_vs_lake_size",
+                "delta_docs": n_delta,
+                "points": points,
+                "lake_growth_x": lake_growth,
+                "wall_growth_x": growth,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
