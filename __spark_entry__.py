@@ -2795,8 +2795,15 @@ def _bpe_cte_chain(n_merges: int) -> str:
             f"""w{i + 1} AS MATERIALIZED (
   SELECT word, freq,
          trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
-              ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
-              ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' '),
+              -- coalesce: when the corpus runs out of mergeable pairs b{i}
+              -- is EMPTY and the scalar subqueries are NULL; '' makes the
+              -- pattern 4 consecutive spaces, which never occurs in the
+              -- doubled string, so the rewrite is a no-op — matching the
+              -- Spark operator's early-stop instead of NULL-poisoning sym
+              ' ' || coalesce((SELECT a FROM b{i}), '') || '  '
+                  || coalesce((SELECT b FROM b{i}), '') || ' ',
+              ' ' || coalesce((SELECT a FROM b{i}), '')
+                  || coalesce((SELECT b FROM b{i}), '') || ' '),
             '  ', ' ')) AS sym
   FROM w{i}
 )"""
@@ -2859,8 +2866,10 @@ def _sql_bpe_encode(n_merges: int = 8) -> str:
         " w -> array_to_string(regexp_split_to_array(w, ''), ' ') || ' </w>'), ' ')"
     )
     for i in range(n_merges):
-        a = f"(SELECT a FROM b{i})"
-        b = f"(SELECT b FROM b{i})"
+        # coalesce: empty b{i} (early-stopped training) must be a no-op
+        # rewrite, not a NULL-poisoned encoding — see _bpe_cte_chain
+        a = f"coalesce((SELECT a FROM b{i}), '')"
+        b = f"coalesce((SELECT b FROM b{i}), '')"
         expr = (
             f"trim(replace(replace(' ' || replace({expr}, ' ', '  ') || ' ', "
             f"' ' || {a} || '  ' || {b} || ' ', "

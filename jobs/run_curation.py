@@ -244,8 +244,15 @@ def main() -> None:
             doc_repos = df.select(
                 args.id_col, F.col(args.repo_col).alias("repo")
             )
-            edges = repo_edges(imports, doc_repos, owners)
             nodes = df.select(F.col(args.repo_col).alias("node")).distinct()
+            # the ownership table may name repos with no documents in the
+            # CURRENT corpus (filtered out upstream, or never present);
+            # pagerank_int's contract requires both edge endpoints in
+            # nodes — without this semi-join those edges would deflate
+            # in-corpus contributions and silently leak rank mass
+            edges = repo_edges(imports, doc_repos, owners).join(
+                nodes.withColumnRenamed("node", "dst"), "dst", "left_semi"
+            )
             ranks = pagerank_int(nodes, edges, n_iters=args.pagerank_iters)
             rw = rank_weights(
                 df, ranks, repo_col=args.repo_col, id_col=args.id_col

@@ -99,21 +99,16 @@ def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
     return pairs.groupBy("p.a", "p.b").agg(F.sum("freq").alias("cnt"))
 
 
-def bpe_train(
+def _bpe_train_with_words(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     lowercase: bool = True,
     cut_every: int = 16,
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; return the merge table.
-
-    Output columns: ``merge_rank`` (1-based), ``left``, ``right``,
-    ``pair_count`` — deterministic for a given corpus regardless of
-    partitioning or parallelism (the arg-max order is total).
-
-    Stops early if the corpus runs out of mergeable pairs.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """``bpe_train`` plus the FINAL merged word table (word, freq, sym) —
+    the loop already holds it, so downstream consumers (vocabulary
+    aggregation) must not pay a second corpus scan + merge replay."""
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
     spark = df.sparkSession
@@ -157,9 +152,35 @@ def bpe_train(
         cur = cur.withColumn("sym", _merge_expr(F.col("sym"), a, b))
         if rank % cut_every == 0:
             cur = _cut(cur)
-    return spark.createDataFrame(
+    mdf = spark.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
+    return mdf, cur
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    lowercase: bool = True,
+    cut_every: int = 16,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; return the merge table.
+
+    Output columns: ``merge_rank`` (1-based), ``left``, ``right``,
+    ``pair_count`` — deterministic for a given corpus regardless of
+    partitioning or parallelism (the arg-max order is total).
+
+    Stops early if the corpus runs out of mergeable pairs.
+    """
+    merges, _ = _bpe_train_with_words(
+        df,
+        text_col=text_col,
+        n_merges=n_merges,
+        lowercase=lowercase,
+        cut_every=cut_every,
+    )
+    return merges
 
 
 def apply_merges(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
@@ -228,13 +249,9 @@ def bpe_vocab(
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    merge_rows = bpe_train(
+    _, final = _bpe_train_with_words(
         df, text_col=text_col, n_merges=n_merges, lowercase=lowercase
-    ).collect()
-    words = word_freqs(df, text_col=text_col, lowercase=lowercase).select(
-        "word", "freq", initial_symbols(F.col("word")).alias("sym")
     )
-    final = apply_merges(words, [(r["left"], r["right"]) for r in merge_rows])
     exploded = final.select("freq", F.explode(F.split("sym", " ")).alias("symbol"))
     agg = exploded.groupBy("symbol").agg(F.sum("freq").alias("freq"))
     return agg.orderBy(F.col("freq").desc(), F.col("symbol").asc()).limit(k)

@@ -56,21 +56,25 @@ def mine_symbols(
     projections, no UDF.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
-    parts = []
-    for kind, pat in _SYMBOL_PATTERNS:
-        parts.append(
-            df.select(
-                F.col(id_col),
-                F.lit(kind).alias("kind"),
-                F.explode(F.regexp_extract_all(text, F.lit(pat), F.lit(1))).alias(
-                    "name"
-                ),
-            )
+    # ONE corpus scan: every pattern's matches become (kind, name) structs
+    # in a single projection, concatenated and exploded together — a
+    # per-pattern union would re-read the source once per pattern, which
+    # at 100 TB is the whole cost
+    def _tagged(kind: str, pat: str):
+        # NB: the lambda must be single-parameter — F.transform treats a
+        # second parameter (even a defaulted one) as the array INDEX
+        return F.transform(
+            F.regexp_extract_all(text, F.lit(pat), F.lit(1)),
+            lambda name: F.struct(F.lit(kind).alias("kind"), name.alias("name")),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+
+    per_pattern = [_tagged(kind, pat) for kind, pat in _SYMBOL_PATTERNS]
+    exploded = df.select(
+        F.col(id_col), F.explode(F.concat(*per_pattern)).alias("s")
+    )
+    return exploded.select(
+        id_col, F.col("s.kind").alias("kind"), F.col("s.name").alias("name")
+    ).distinct()
 
 
 def _lines(text: Column) -> Column:
@@ -112,8 +116,11 @@ def code_metrics(
         n_branches.cast("int").alias("n_branches"),
         n_comment.cast("int").alias("n_comment_lines"),
         n_blank.cast("int").alias("n_blank_lines"),
-        (F.lit(PPM) * n_comment).cast("long").alias("_c_tmp"),
-        (F.lit(PPM) * n_blank).cast("long").alias("_b_tmp"),
+        # multiply in LONG: PPM * an int count overflows 32-bit at ~2148
+        # comment lines (silently negative with ANSI off, a crash with it
+        # on) while the DuckDB oracle computes BIGINT — cast first
+        (F.lit(PPM).cast("long") * n_comment.cast("long")).alias("_c_tmp"),
+        (F.lit(PPM).cast("long") * n_blank.cast("long")).alias("_b_tmp"),
     ).select(
         id_col,
         "n_lines",

@@ -406,7 +406,15 @@ def incremental_jaccard_pairs(
 
     feat_lake = _feat(lake)
     if lake_staging is not None:
-        feat_lake.write.mode("overwrite").parquet(lake_staging)
+        # REUSE an existing staged table: the whole point of staging is
+        # that nightly increments never re-scan lake content, so a
+        # committed (_SUCCESS) staging parquet is read as-is.  Callers own
+        # invalidation (delete the directory when the lake changes) — the
+        # same convention as the jobs' _done() stage handoff.
+        import os as _os
+
+        if not _os.path.exists(_os.path.join(lake_staging, "_SUCCESS")):
+            feat_lake.write.mode("overwrite").parquet(lake_staging)
         feat_lake = lake.sparkSession.read.parquet(lake_staging)
     feat = (
         feat_lake.withColumn("is_delta", F.lit(False))

@@ -191,3 +191,34 @@ def test_n_merges_validation(docs):
         bpe_train(docs, n_merges=0)
     with pytest.raises(ValueError):
         bpe_vocab(docs, k=0)
+
+
+def test_early_stop_oracle_parity(spark):
+    """A corpus that exhausts mergeable pairs before n_merges must keep the
+    Spark operator and the generated DuckDB oracle in agreement (the oracle
+    guards its empty merge CTEs with coalesce no-ops)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as em
+
+    rows = [(0, "ab ab ab"), (1, "ab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got_m = sorted(map(tuple, bpe_train(docs, n_merges=8).collect()))
+    exp_m = sorted(map(tuple, con.execute(em._sql_bpe_merges(8)).fetchall()))
+    assert got_m == exp_m
+    assert 0 < len(got_m) < 8  # training genuinely stopped early
+
+    got_v = sorted(map(tuple, bpe_vocab(docs, n_merges=8, k=100).collect()))
+    exp_v = sorted(map(tuple, con.execute(em._sql_bpe_vocab(8, 100)).fetchall()))
+    assert got_v == exp_v
+
+    from language_identification_spark.operators.bpe import bpe_encode
+
+    merges = [(r[1], r[2]) for r in sorted(map(tuple, got_m))]
+    got_e = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    exp_e = sorted(map(tuple, con.execute(em._sql_bpe_encode(8)).fetchall()))
+    assert got_e == exp_e

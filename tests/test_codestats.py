@@ -119,3 +119,29 @@ def test_symbols_plan_no_python(docs):
         mine_symbols(docs).explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ppm_no_int32_overflow(spark):
+    """PPM * count must multiply in LONG: 2500 comment lines would wrap a
+    32-bit product (2.5e9 > 2^31) into garbage ppm."""
+    text = "\n".join(["# c"] * 2500 + ["x = 1"] * 2500)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = code_metrics(df).collect()[0]
+    assert row["n_comment_lines"] == 2500 and row["n_lines"] == 5000
+    assert row["comment_ppm"] == PPM * 2500 // 5000  # exactly 500000
+
+
+def test_mine_symbols_single_scan(docs):
+    """The symbol miner must read its source once — one scan node, not one
+    per pattern."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mine_symbols(docs).explain("formatted")
+    plan = buf.getvalue()
+    # formatted output lists each node twice (tree + detail); count the
+    # numbered detail headers to count actual scan NODES
+    assert len(re.findall(r"\(\d+\) Scan", plan)) == 1
+    assert "Union" not in plan

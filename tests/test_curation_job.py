@@ -262,3 +262,47 @@ def test_rank_weighting_requires_owners(monkeypatch):
     )
     with pytest.raises(SystemExit):
         run_curation.main()
+
+
+def test_rank_weighting_ignores_out_of_corpus_owner_repos(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """An ownership row pointing at a repo with no documents must not leak
+    rank mass or deflate out-degrees: the edge is dropped before pagerank."""
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (1, "import libB\nimport ghostlib\nalpha", "repoA"),
+            (2, "from libB import x\ncode", "repoC"),
+            (3, "plain", "repoB"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(src)
+    owners = str(tmp_path / "owners.parquet")
+    spark.createDataFrame(
+        [("libB", "repoB"), ("ghostlib", "repoGHOST")],  # no repoGHOST docs
+        "module string, repo string",
+    ).write.parquet(owners)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run_curation.py", "--source", src, "--out", out,
+         "--group-col", "source", "--rank-weighting",
+         "--module-owners", owners, "--pagerank-iters", "4"],
+    )
+    run_curation.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rw = spark.read.parquet(report["rank_weighting"])
+    got = {r["source"]: r["rank_ppb"] for r in rw.collect()}
+    from tests.test_graph import scalar_pagerank
+
+    # the ghost edge is DROPPED: repoA's out-degree is 1 (only ->B), so its
+    # full contribution flows to repoB — identical to a graph that never
+    # contained the ghost edge
+    exp = scalar_pagerank(["repoA", "repoB", "repoC"],
+                          [("repoA", "repoB"), ("repoC", "repoB")], n_iters=4)
+    assert {k: got[k] for k in exp} == exp

@@ -368,3 +368,17 @@ def test_incremental_lake_staging(spark, tmp_path):
     assert _os.path.exists(_os.path.join(staged, "_SUCCESS"))
     cols = spark.read.parquet(staged).columns
     assert "text" not in cols and set(cols) >= {"doc_id", "sig", "sh", "ch"}
+    # second increment REUSES the committed staging table — no rewrite
+    mtimes = {
+        f: _os.path.getmtime(_os.path.join(staged, f))
+        for f in _os.listdir(staged)
+    }
+    again = incremental_jaccard_pairs(
+        docs.filter("doc_id = 1"), docs.filter("doc_id = 10"),
+        "text", "doc_id", threshold=0.3, lake_staging=staged,
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in again] == [(1, 10)]
+    assert {
+        f: _os.path.getmtime(_os.path.join(staged, f))
+        for f in _os.listdir(staged)
+    } == mtimes
