@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (64/64) — including the model/LSH stages, re-derived in SQL
+EVERY query (69/69) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -3558,6 +3558,273 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# governance suite: planted-PII scrub audit, entropy-based secret detection,
+# snapshot diff, repo fork detection, embedding-norm outliers
+# ---------------------------------------------------------------------------
+
+def _plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically append PII/secret lines to subsets of docs (the raw
+    synthetic corpus is PII-free, so the audit/secret queries plant their own
+    evidence — same pattern as ``_plant_license_headers``).  The oracle
+    re-derives byte-identical suffixes in SQL (``chr(10)``, ``||``,
+    ``to_base64(from_hex(sha256(...)))`` mirror ``F.lit("\\n")``, ``concat``,
+    ``F.base64(F.unhex(F.sha2(...)))``)."""
+    i = F.col("doc_id")
+    s = i.cast("string")
+    nl = F.lit("\n")
+
+    def sha_hex(prefix: str) -> F.Column:
+        return F.sha2(F.encode(F.concat(F.lit(prefix), s), "UTF-8"), 256)
+
+    suffix = F.concat(
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                nl,
+                F.lit("contact user"),
+                s,
+                F.lit("@example.com at 10.1.2."),
+                (i % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 17 == 0,
+            F.concat(nl, F.lit("aws AKIA"), F.upper(F.substring(sha_hex("ak|"), 1, 16))),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 4 == 1,
+            F.concat(nl, F.lit("token = "), F.base64(F.unhex(sha_hex("sk|")))),
+        ).otherwise(F.lit("")),
+        F.when(
+            i % 6 == 2,
+            F.concat(nl, F.lit("id marker_aaaaaaaaaaaaaaaaaaaaaaaaaaaa")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.withColumn(
+        "text", F.concat(F.coalesce(F.col("text"), F.lit("")), suffix)
+    )
+
+
+_SQL_PII_CTE = """
+pii AS MATERIALIZED (
+  SELECT doc_id, source,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com at 10.1.2.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'aws AKIA'
+            || upper(substr(sha256('ak|' || CAST(doc_id AS VARCHAR)), 1, 16)) ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'token = '
+            || to_base64(from_hex(sha256('sk|' || CAST(doc_id AS VARCHAR)))) ELSE '' END
+    || CASE WHEN doc_id % 6 = 2 THEN chr(10) || 'id marker_aaaaaaaaaaaaaaaaaaaaaaaaaaaa' ELSE '' END
+    AS text
+  FROM documents
+)"""
+
+
+def _q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo PII/secret census over the planted corpus — counts replay
+    the scrubber's ordered count+replace chain JVM-side (zero Python),
+    then one partial-aggregated groupBy on the repo key."""
+    from language_identification_spark.operators.audit import scrub_audit
+
+    docs = _plant_pii(_docs(spark, sf_dir))
+    return scrub_audit(docs).withColumnRenamed("source", "repo")
+
+
+def _sql_scrub_audit() -> str:
+    from language_identification_spark.scrub.patterns import PATTERNS
+
+    sql = (
+        f"WITH {_SQL_PII_CTE}, "
+        "s0 AS (SELECT source, text AS t FROM pii)"
+    )
+    carried: list[str] = []
+    prev = "s0"
+    for idx, (name, pat, repl) in enumerate(PATTERNS, 1):
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        keep = (", ".join(carried) + ", ") if carried else ""
+        sql += (
+            f", s{idx} AS (SELECT source, {keep}"
+            f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace(t, '{p}', '{r}', 'g') AS t FROM {prev})"
+        )
+        carried.append(f"n_{name}")
+        prev = f"s{idx}"
+    total = " + ".join(carried)
+    sums = ", ".join(f"CAST(sum({c}) AS BIGINT) AS {c}" for c in carried)
+    return (
+        sql
+        + f", d AS (SELECT source, {', '.join(carried)}, {total} AS n_total FROM {prev})"
+        f" SELECT source AS repo, {sums},"
+        f" CAST(sum(n_total) AS BIGINT) AS n_redactions,"
+        f" CAST(sum(CASE WHEN n_total > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,"
+        f" count(*) AS n_docs FROM d GROUP BY source"
+    )
+
+
+def _q_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-entropy credential candidates over the planted corpus —
+    row-local token extraction + Shannon-entropy fold, zero Exchanges."""
+    from language_identification_spark.operators.audit import secret_candidates
+
+    docs = _plant_pii(_docs(spark, sf_dir))
+    return secret_candidates(docs)
+
+
+def _sql_entropy_secrets() -> str:
+    from language_identification_spark.operators.audit import (
+        DEFAULT_ENTROPY_BITS,
+        SECRET_TOKEN_REGEX,
+    )
+
+    thresh = int(round(DEFAULT_ENTROPY_BITS * 1000))
+    return f"""
+WITH {_SQL_PII_CTE},
+tok AS (
+  SELECT doc_id,
+         unnest(list_transform(regexp_extract_all(text, '{SECRET_TOKEN_REGEX}'),
+                (x, i) -> {{'pos': i - 1, 'tok': x}}), recursive := true)
+  FROM pii
+),
+c AS (
+  SELECT doc_id, pos, tok,
+         list_filter(string_split(tok, ''), x -> x <> '') AS chars,
+         len(tok)::DOUBLE AS L
+  FROM tok
+),
+e AS (
+  SELECT doc_id, pos, tok, L,
+         -list_sum(list_transform(list_distinct(chars),
+            c0 -> (len(list_filter(chars, x -> x = c0))::DOUBLE / L)
+                  * log2(len(list_filter(chars, x -> x = c0))::DOUBLE / L))) AS ent
+  FROM c
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, CAST(L AS INT) AS token_len,
+       sha256(tok) AS token_sha256,
+       CAST(round(round(ent, 6) * 1000) AS BIGINT) AS entropy_milli,
+       (CAST(round(round(ent, 6) * 1000) AS BIGINT) >= {thresh}) AS is_secret
+FROM e
+"""
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version corpus diff: v1 drops doc_id%11==3 ('added' later),
+    v2 drops doc_id%13==5 ('removed') and patches doc_id%7==2 ('changed').
+    Hashes are computed scan-side; the full-outer join shuffles hashes only."""
+    from language_identification_spark.operators.diffing import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.filter(F.col("doc_id") % 11 != 3)
+    v2 = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit("#patched")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v1, v2)
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT doc_id, sha256(coalesce(text, '')) AS old_sha256
+  FROM documents WHERE doc_id % 11 <> 3
+),
+v2 AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 7 = 2 THEN coalesce(text, '') || '#patched'
+                     ELSE coalesce(text, '') END) AS new_sha256
+  FROM documents WHERE doc_id % 13 <> 5
+),
+j AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN old_sha256 <> new_sha256 THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         old_sha256, new_sha256
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT doc_id, status, old_sha256, new_sha256 FROM j WHERE status <> 'unchanged'
+"""
+
+
+def _q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork detection over a corpus with planted forks: four
+    'fork_srcK' repos carrying every third file of their upstream.  Exact
+    Jaccard over file-hash sets via a capped posting-list self-join."""
+    from language_identification_spark.operators.repolevel import fork_pairs
+
+    docs = _docs(spark, sf_dir)
+    forked = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & F.col("source").isin("src0", "src1", "src2", "src3")
+    ).withColumn("source", F.concat(F.lit("fork_"), F.col("source")))
+    corpus = docs.select("source", "text").unionByName(
+        forked.select("source", "text")
+    )
+    return fork_pairs(corpus, min_jaccard_milli=150)
+
+
+_SQL_FORK_PAIRS = """
+WITH corpus AS (
+  SELECT source AS repo, coalesce(text, '') AS t FROM documents
+  UNION ALL
+  SELECT 'fork_' || source, coalesce(text, '') FROM documents
+  WHERE doc_id % 3 = 0 AND source IN ('src0', 'src1', 'src2', 'src3')
+),
+files AS MATERIALIZED (SELECT DISTINCT repo, sha256(t) AS h FROM corpus),
+sizes AS MATERIALIZED (SELECT repo, count(*) AS n FROM files GROUP BY repo),
+eligible AS (SELECT h FROM files GROUP BY h HAVING count(*) <= 64),
+posting AS MATERIALIZED (SELECT f.repo, f.h FROM files f JOIN eligible e USING (h)),
+shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+  FROM posting a JOIN posting b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+)
+SELECT repo_a, repo_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       CAST((1000 * n_shared) // (sa.n + sb.n - n_shared) AS BIGINT) AS jaccard_milli
+FROM shared
+JOIN sizes sa ON sa.repo = shared.repo_a
+JOIN sizes sb ON sb.repo = shared.repo_b
+WHERE (1000 * n_shared) // (sa.n + sb.n - n_shared) >= 150
+"""
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm profile + exact integer z-score outliers."""
+    from language_identification_spark.operators.embstats import norm_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return norm_outliers(emb)
+
+
+_SQL_EMBEDDING_OUTLIERS = """
+WITH r AS MATERIALIZED (
+  SELECT vec_id, label,
+         CAST(round(round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+              x -> x * x))), 6) * 1000000) AS BIGINT) AS norm_micro
+  FROM embeddings
+),
+s AS (
+  SELECT label,
+         CAST(count(*) AS HUGEINT) AS n_g,
+         CAST(sum(norm_micro) AS HUGEINT) AS sum_g,
+         sum(CAST(norm_micro AS HUGEINT) * CAST(norm_micro AS HUGEINT)) AS sum2_g
+  FROM r GROUP BY label
+)
+SELECT vec_id, r.label AS label, norm_micro,
+       CAST(n_g AS BIGINT) AS n_label,
+       CAST(sum_g // n_g AS BIGINT) AS mean_micro,
+       ((n_g * CAST(norm_micro AS HUGEINT) - sum_g)
+        * (n_g * CAST(norm_micro AS HUGEINT) - sum_g)
+        > 9 * (n_g * sum2_g - sum_g * sum_g)) AS is_outlier
+FROM r JOIN s USING (label)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -3624,6 +3891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_order": _q_shuffle_order,
         "chunk_documents": _q_chunk_documents,
         "quality_lr_predict": _q_quality_lr_predict,
+        "scrub_audit": _q_scrub_audit,
+        "entropy_secrets": _q_entropy_secrets,
+        "snapshot_diff": _q_snapshot_diff,
+        "fork_pairs": _q_fork_pairs,
+        "embedding_outliers": _q_embedding_outliers,
     }
 
 
@@ -3695,6 +3967,11 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": _SQL_SHUFFLE_ORDER,
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "quality_lr_predict": _sql_quality_lr_predict(),
+        "scrub_audit": _sql_scrub_audit(),
+        "entropy_secrets": _sql_entropy_secrets(),
+        "snapshot_diff": _SQL_SNAPSHOT_DIFF,
+        "fork_pairs": _SQL_FORK_PAIRS,
+        "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -71,6 +71,80 @@ def repo_rollup(
     )
 
 
+def fork_pairs(
+    df: DataFrame,
+    repo_col: str = "source",
+    text_col: str = "text",
+    min_jaccard_milli: int = 200,
+    max_posting: int = 64,
+) -> DataFrame:
+    """Repo-level fork/mirror detection via exact Jaccard over file-hash sets.
+
+    Forked and mirrored repositories are the dominant duplication mode in
+    code corpora (The Stack dedups forks explicitly before any per-file
+    pass); two repos sharing most file *contents* are one repo for
+    training purposes.  Each repo becomes the set of its distinct file
+    content hashes; candidate pairs come from a posting-list self-join on
+    the hash (only repos that share at least one file ever meet), and the
+    exact Jaccard ``|A & B| / |A u B|`` is integer arithmetic on set
+    sizes.
+
+    ``max_posting`` drops hashes present in more than that many repos
+    (vendored boilerplate: empty __init__.py, LICENSE files, lockfiles) —
+    the same skew-cap pattern as the MinHash bands in
+    ``operators/dedup.py``; without it one ubiquitous file contributes
+    O(#repos^2) candidate pairs.
+
+    Output: ``repo_a`` < ``repo_b``, ``n_shared``, ``n_a``, ``n_b``,
+    ``jaccard_milli`` (floor(1000 * shared / union), exact long), filtered
+    to ``jaccard_milli >= min_jaccard_milli``.
+
+    Scale shape (100 TB lens): content is hashed scan-side and never
+    shuffles; the distinct + posting join move (repo, 64-hex hash) pairs
+    only.  The pair aggregation is partial-combined on (repo_a, repo_b),
+    and the two size joins broadcast the O(#repos) size table.  The
+    posting cap bounds any one hash's pair fan-out to
+    ``max_posting^2/2``.
+    """
+    files = df.select(
+        F.col(repo_col).alias("repo"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
+    ).distinct()
+    sizes = files.groupBy("repo").agg(F.count(F.lit(1)).alias("n_files"))
+    eligible = (
+        files.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_repos"))
+        .filter(F.col("n_repos") <= F.lit(int(max_posting)))
+        .select("h")
+    )
+    posting = files.join(eligible, on="h", how="inner")
+    a = posting.select(F.col("h"), F.col("repo").alias("repo_a"))
+    b = posting.select(F.col("h"), F.col("repo").alias("repo_b"))
+    shared = (
+        a.join(b, on="h")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("repo").alias("repo_a"), F.col("n_files").alias("n_a"))
+    sb = sizes.select(F.col("repo").alias("repo_b"), F.col("n_files").alias("n_b"))
+    out = (
+        shared.join(F.broadcast(sa), on="repo_a")
+        .join(F.broadcast(sb), on="repo_b")
+        .withColumn(
+            # integral division (`div`), not floor-of-double-divide: the
+            # verdict is exact long arithmetic, immune to IEEE rounding at
+            # quotient boundaries and identical in every engine
+            "jaccard_milli",
+            F.expr(
+                "(1000 * n_shared) div (n_a + n_b - n_shared)"
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_milli") >= F.lit(int(min_jaccard_milli)))
+    )
+    return out.select("repo_a", "repo_b", "n_shared", "n_a", "n_b", "jaccard_milli")
+
+
 def apply_repo_filter(
     df: DataFrame,
     verdicts: DataFrame,
