@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship quality-filter pipeline on sf0.001.
 ``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
 the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-EVERY query (69/69) — including the model/LSH stages, re-derived in SQL
+EVERY query (70/70) — including the model/LSH stages, re-derived in SQL
 against committed weight parquets and embedded model constants.  Numeric outputs are integerized (``*_milli`` =
 value*1000 rounded to bigint) so cross-engine float formatting can't break
 the driver's value hash; every computed column is aliased identically on
@@ -3793,6 +3793,82 @@ WHERE (1000 * n_shared) // (sa.n + sb.n - n_shared) >= 150
 """
 
 
+def _q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-ordered corpus layering: file-level import edges (module
+    mod_K is *defined by* the lowest doc_id with doc_id%40==K, imported by
+    the planted headers; cycles broken by the src<dst id-order tiebreak so
+    the graph is a DAG by construction), then Kahn layering — layer =
+    longest path from any root, exact integers, bit-identical across
+    engines.  Emitting files in (layer, doc_id) order gives
+    definitions-before-uses repo-context concatenation."""
+    from language_identification_spark.operators.graph import (
+        extract_imports,
+        topo_layers,
+    )
+
+    docs = _plant_imports(_docs(spark, sf_dir))
+    imports = extract_imports(docs).withColumn(
+        "k", F.substring(F.col("module"), 5, 10).cast("long")
+    )
+    fowners = docs.groupBy(F.pmod(F.col("doc_id"), F.lit(40)).alias("k")).agg(
+        F.min("doc_id").alias("owner")
+    )
+    fedges = (
+        imports.join(fowners, "k")
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select(F.col("owner").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    out = topo_layers(nodes, fedges)
+    return out.select(F.col("node").alias("doc_id"), "layer")
+
+
+def _sql_topo_order() -> str:
+    # longest path from any root via a depth-bounded recursive walk with
+    # UNION dedup; on the DAG-by-construction planted edges this equals the
+    # operator's Kahn layering exactly (cycle handling is pytest-covered)
+    return """
+WITH RECURSIVE planted AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 > 0 THEN
+           array_to_string(list_transform(range(0, (doc_id % 4)::INT), j ->
+             CASE WHEN j % 2 = 0
+               THEN 'import mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+               ELSE 'from mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+                    || ' import helper'
+             END), chr(10)) || chr(10) || coalesce(text, '')
+         ELSE text END AS text
+  FROM documents
+),
+imports AS MATERIALIZED (
+  SELECT DISTINCT doc_id, m AS module
+  FROM planted,
+       LATERAL unnest(regexp_extract_all(
+         substr(coalesce(text, ''), 1, 2048),
+         '(?m)^(?:import|from)[ ]+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS t(m)
+),
+fowners AS MATERIALIZED (
+  SELECT doc_id % 40 AS k, min(doc_id) AS owner FROM documents GROUP BY 1
+),
+fedges AS MATERIALIZED (
+  SELECT DISTINCT o.owner AS src, i.doc_id AS dst
+  FROM imports i
+  JOIN fowners o ON o.k = CAST(substr(i.module, 5) AS BIGINT)
+  WHERE o.owner < i.doc_id
+),
+walk AS (
+  SELECT doc_id AS node, 0 AS depth FROM documents
+  WHERE doc_id NOT IN (SELECT dst FROM fedges)
+  UNION
+  SELECT e.dst, w.depth + 1 FROM walk w JOIN fedges e ON e.src = w.node
+  WHERE w.depth < 64
+)
+SELECT node AS doc_id, CAST(max(depth) AS BIGINT) AS layer
+FROM walk GROUP BY node
+"""
+
+
 def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding-norm profile + exact integer z-score outliers."""
     from language_identification_spark.operators.embstats import norm_outliers
@@ -3896,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "fork_pairs": _q_fork_pairs,
         "embedding_outliers": _q_embedding_outliers,
+        "topo_order": _q_topo_order,
     }
 
 
@@ -3972,6 +4049,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "fork_pairs": _SQL_FORK_PAIRS,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
+        "topo_order": _sql_topo_order(),
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -531,6 +531,27 @@ def main() -> None:
         runs=3,
     )
 
+    # governance suite: scrub-audit census is the heaviest JVM-regex query
+    # in the repo (6 count + 6 replace passes per row) — min-of-3
+    timed("scrub_audit", lambda: _noop(em._q_scrub_audit(spark, SF_DIR)), runs=3)
+    # entropy secrets: row-local token explode + HOF entropy fold, zero
+    # Exchange — but the planted-b64 concat makes every row regex-scanned
+    timed(
+        "entropy_secrets", lambda: _noop(em._q_entropy_secrets(spark, SF_DIR))
+    )
+    # snapshot diff: two scans + one hash-only full-outer SMJ
+    timed("snapshot_diff", lambda: _noop(em._q_snapshot_diff(spark, SF_DIR)))
+    # fork detection: distinct + capped posting self-join on file hashes
+    timed("fork_pairs", lambda: _noop(em._q_fork_pairs(spark, SF_DIR)))
+    # embedding-norm outliers: row-local norm fold + label-stats broadcast
+    timed(
+        "embedding_outliers",
+        lambda: _noop(em._q_embedding_outliers(spark, SF_DIR)),
+    )
+    # topological layering: depth-of-DAG iterative rounds over short-key
+    # joins (iterative class, like pagerank — one sample)
+    timed("topo_order", lambda: _noop(em._q_topo_order(spark, SF_DIR)))
+
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)
     print(

@@ -127,6 +127,99 @@ def rank_weights(
     )
 
 
+def topo_layers(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 64,
+) -> DataFrame:
+    """Topological layering: ``node``, ``layer`` (long).
+
+    Repo-context training (and any dependency-ordered corpus
+    concatenation) wants files emitted *definitions before uses*; the
+    standard assignment is Kahn layering, where ``layer(v) = 1 +
+    max(layer of all predecessors)`` once every predecessor is assigned
+    — equal to the longest path from any root on a DAG.  Roots
+    (in-degree 0, including isolated nodes) get layer 0.  Nodes on or
+    downstream of a cycle can never satisfy "all predecessors assigned"
+    and finish as ``layer = -1`` (deterministic sentinel — downstream of
+    a cycle there IS no valid order; callers break cycles upstream, e.g.
+    the ``src < dst`` id-order tiebreak the driver query applies).
+
+    ``nodes``: one column ``node`` (distinct); ``edges``: ``src`` ->
+    ``dst`` (distinct) meaning src must precede dst.
+
+    All layers are exact integers from order-independent aggregates
+    (count + max), so the assignment is bit-identical across engines,
+    partitionings, and cluster sizes.
+
+    Scale shape (100 TB lens): the loop runs depth-of-DAG rounds (import
+    DAGs are shallow — tens, not thousands); each round is one
+    partial-aggregated groupBy over the edge list joined to the current
+    assignment on short keys.  Content never enters; the tables carry
+    (id, id) and (id, long).  Per-round lineage is cut exactly like
+    ``pagerank_int`` (checkpoint dir on clusters, localCheckpoint
+    locally) so Catalyst analysis stays O(1) per iteration.
+    """
+
+    def _cut(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    nodes = nodes.persist()
+    if nodes.isEmpty():
+        nodes.unpersist()
+        # empty result that preserves the caller's node type
+        return nodes.select("node", F.lit(0).cast("long").alias("layer"))
+    edges = edges.persist()
+    edges.count()
+
+    assigned = _cut(
+        nodes.join(
+            edges.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ).select("node", F.lit(0).cast("long").alias("layer"))
+    )
+    try:
+        for _ in range(max_iters):
+            # a dst is ready when EVERY in-edge src already has a layer:
+            # count(layer) counts non-null joined layers, so total == done
+            # is exactly "all predecessors assigned"
+            pred = (
+                edges.join(
+                    assigned.withColumnRenamed("node", "src"), "src", "left"
+                )
+                .groupBy("dst")
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count("layer").alias("done"),
+                    F.max("layer").alias("max_layer"),
+                )
+            )
+            ready = (
+                pred.filter(F.col("total") == F.col("done"))
+                .join(
+                    assigned.withColumnRenamed("node", "dst"), "dst", "left_anti"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("max_layer") + 1).cast("long").alias("layer"),
+                )
+            )
+            if ready.isEmpty():
+                break
+            assigned = _cut(assigned.unionByName(ready))
+        leftover = nodes.join(assigned, "node", "left_anti").select(
+            "node", F.lit(-1).cast("long").alias("layer")
+        )
+        return assigned.unionByName(leftover)
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
+
+
 def pagerank_int(
     nodes: DataFrame,
     edges: DataFrame,

@@ -160,3 +160,48 @@ def test_extract_plan_row_local(spark):
         extract_imports(df).explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------- topo layering
+
+
+def _layers(spark, nodes, edges, **kw):
+    from language_identification_spark.operators.graph import topo_layers
+
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    e = spark.createDataFrame(edges or [], "src long, dst long")
+    return {r["node"]: r["layer"] for r in topo_layers(n, e, **kw).collect()}
+
+
+def test_topo_layers_chain_diamond_isolated(spark):
+    # chain 1->2->3, diamond 1->4, 2->4 (longest path wins), isolated 9
+    got = _layers(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (1, 4), (2, 4)])
+    assert got == {1: 0, 2: 1, 3: 2, 4: 2, 9: 0}
+
+
+def test_topo_layers_cycle_and_downstream(spark):
+    # 1 -> (2 <-> 3) -> 4: the cycle and everything downstream of it can
+    # never satisfy "all predecessors assigned" -> sentinel -1
+    got = _layers(spark, [1, 2, 3, 4], [(1, 2), (2, 3), (3, 2), (3, 4)])
+    assert got == {1: 0, 2: -1, 3: -1, 4: -1}
+
+
+def test_topo_layers_empty_and_no_edges(spark):
+    assert _layers(spark, [], []) == {}
+    assert _layers(spark, [7, 8], []) == {7: 0, 8: 0}
+
+
+def test_topo_layers_partition_invariance(spark):
+    from language_identification_spark.operators.graph import topo_layers
+
+    edges = [(i, i + 1) for i in range(1, 8)] + [(1, 5), (3, 7)]
+    n = spark.createDataFrame([(x,) for x in range(1, 9)], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["layer"] for r in topo_layers(n, e).collect()}
+    b = {
+        r["node"]: r["layer"]
+        for r in topo_layers(n.repartition(7), e.repartition(3)).collect()
+    }
+    assert a == b
+    # a simple chain layers as its position
+    assert a[1] == 0 and a[8] == 7
