@@ -2679,17 +2679,22 @@ GROUP BY source
 def _q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup: every document weighted by the inverse of its near-dup
     cluster size (integer floor-div ppm — engine-portable, no float-round
-    divergence).  Reuses the oracled MinHash pair miner and component
-    grouping; the oracle re-derives sizes from the recursive-CTE closure."""
+    divergence).  Reuses the oracled MinHash pair miner and the
+    large-star/small-star component contraction (O(log n) rounds — the
+    sf0.1 dup graph has a diameter-8 tail that costs min-label propagation
+    2.5x the wall time for identical labels; propagation itself stays
+    oracled by `dedup_components`).  The oracle re-derives cluster sizes
+    from the recursive-CTE closure, so it checks the labels independently
+    of which contraction computed them."""
     from language_identification_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         duplicate_weights,
         jaccard_pairs,
     )
 
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
-    comps = connected_components(pairs)
+    comps = connected_components_star(pairs)
     return duplicate_weights(docs, comps)
 
 

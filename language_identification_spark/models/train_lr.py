@@ -102,30 +102,42 @@ def train_quality_lr(
 ) -> list[float]:
     """Full-batch GD; returns ``[w0 (bias), w1, w2, w3]`` quantized to 9
     decimals.  One aggregation job per iteration; only (d+1) scalars reach
-    the driver per round."""
-    feats = lr_feature_cols(df, text_col)
+    the driver per round.
+
+    The exact-integer features (4 longs per row) are persisted before the
+    loop: without the cache every iteration re-scans the corpus and
+    re-runs the regex feature extraction — at 40 iterations that is 40
+    full text scans for a feature table that is ~1000x smaller than the
+    text.  ``persist`` (not localCheckpoint) so a lost executor recomputes
+    its cached split from lineage instead of failing the job."""
+    feats = lr_feature_cols(df, text_col).select(
+        "len_milli", "punct_permilli", "stop_permilli", "label"
+    ).persist()
     x1 = F.col("len_milli").cast("double") / F.lit(1000.0)
     x2 = F.col("punct_permilli").cast("double") / F.lit(1000.0)
     x3 = F.col("stop_permilli").cast("double") / F.lit(1000.0)
     y = F.col("label").cast("double")
     w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(iters):
-        margin = _margin_expr(w)
-        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - y
-        row = feats.agg(
-            F.sum(resid).alias("g0"),
-            F.sum(resid * x1).alias("g1"),
-            F.sum(resid * x2).alias("g2"),
-            F.sum(resid * x3).alias("g3"),
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        n = float(row["n"])
-        if n == 0:
-            raise ValueError("cannot train on an empty table")
-        w = [
-            round(w[j] - lr * float(row[f"g{j}"]) / n, 9)
-            for j in range(4)
-        ]
+    try:
+        for _ in range(iters):
+            margin = _margin_expr(w)
+            resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - y
+            row = feats.agg(
+                F.sum(resid).alias("g0"),
+                F.sum(resid * x1).alias("g1"),
+                F.sum(resid * x2).alias("g2"),
+                F.sum(resid * x3).alias("g3"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            n = float(row["n"])
+            if n == 0:
+                raise ValueError("cannot train on an empty table")
+            w = [
+                round(w[j] - lr * float(row[f"g{j}"]) / n, 9)
+                for j in range(4)
+            ]
+    finally:
+        feats.unpersist()
     return w
 
 
