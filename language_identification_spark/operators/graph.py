@@ -42,7 +42,7 @@ tier as ``operators/repolevel.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000  # ppb rank mass
@@ -263,18 +263,37 @@ def pagerank_int(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
+    # dangling-ness (no out-edges) is a static property of the node set:
+    # flag it ONCE, carry the flag in the ranks table, and collect each
+    # round's dangling mass as an Observation on the materialization the
+    # lineage cut performs anyway — one job per iteration instead of two
+    # (the separate anti-join + collect this replaced was a full second
+    # job per round; fires under both localCheckpoint and checkpoint).
+    flagged = nodes.join(
+        outdeg.select(F.col("src").alias("node")).withColumn(
+            "has_out", F.lit(True)
+        ),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out")
+    ).persist()
+
+    def _dang_metric() -> Column:
+        return F.coalesce(
+            F.sum(F.when(~F.col("has_out"), F.col("rank_ppb"))), F.lit(0)
+        ).alias("dangling")
+
+    obs0 = Observation()
     ranks = _cut(
-        nodes.select("node", F.lit(SCALE // n).cast("long").alias("rank_ppb"))
+        flagged.select(
+            "node", F.lit(SCALE // n).cast("long").alias("rank_ppb"), "has_out"
+        ).observe(obs0, _dang_metric())
     )
+    dangling = int(obs0.get["dangling"])
     try:
         for _ in range(n_iters):
-            # dangling mass: nodes with no out-edges
-            dangling = (
-                ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank_ppb"), F.lit(0)))
-                .collect()[0][0]
-            )
-            share = int(dangling) // n
+            share = dangling // n
             inflow = (
                 ed.join(ranks.withColumnRenamed("node", "src"), "src")
                 .select(
@@ -284,8 +303,9 @@ def pagerank_int(
                 .groupBy("node")
                 .agg(F.sum("contrib").alias("inflow"))
             )
+            obs = Observation()
             ranks = _cut(
-                nodes.join(inflow, "node", "left").select(
+                flagged.join(inflow, "node", "left").select(
                     "node",
                     (
                         F.lit(teleport)
@@ -293,10 +313,13 @@ def pagerank_int(
                             f"{damping_pct} * (coalesce(inflow, 0) + {share}) DIV 100"
                         )
                     ).cast("long").alias("rank_ppb"),
-                )
+                    "has_out",
+                ).observe(obs, _dang_metric())
             )
-        return ranks
+            dangling = int(obs.get["dangling"])
+        return ranks.select("node", "rank_ppb")
     finally:
         ed.unpersist()
         outdeg.unpersist()
+        flagged.unpersist()
         nodes.unpersist()
