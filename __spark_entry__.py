@@ -3906,6 +3906,71 @@ FROM r JOIN s USING (label)
 """
 
 
+def _q_repo_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-repo downweighting: keep at most 10 files per repo, selected
+    by smallest sha256("quota|<doc_id>") digest (engine-portable — the
+    same digest ordering DuckDB recomputes; doc_id tiebreak).  The rank
+    runs on an ids-only projection and the kept-key table is bounded at
+    quota x #repos by construction, so the semi-join back to the corpus
+    broadcasts at any corpus size."""
+    from language_identification_spark.operators.repolevel import quota_cap
+
+    docs = _docs(spark, sf_dir)
+    return quota_cap(
+        docs, group_col="source", key_col="doc_id", quota=10, salt="quota"
+    ).select("source", F.col("doc_id").cast("long").alias("doc_id"))
+
+
+_SQL_REPO_QUOTA_CAP = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY sha256('quota|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id FROM ranked WHERE rn <= 10
+"""
+
+
+def _q_collapse_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal: collapse runs of identical
+    consecutive lines to their first line — row-local higher-order
+    functions only (split, shift-zip, filter, rejoin, sha256), zero
+    Exchange, zero UDF.  Publishes the rewritten text's sha256 so the
+    oracle verifies the exact rewrite without hauling text through the
+    compare."""
+    from language_identification_spark.operators.linededup import collapse_runs
+
+    docs = _docs(spark, sf_dir)
+    return collapse_runs(docs)
+
+
+_SQL_COLLAPSE_RUNS = """
+WITH src AS MATERIALIZED (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, z.i AS pos, lines[z.i] AS line,
+         CASE WHEN z.i = 1 THEN NULL ELSE lines[z.i - 1] END AS prev
+  FROM src, unnest(generate_series(1, len(lines))) AS z(i)
+),
+flag AS (
+  SELECT doc_id, pos, line, (prev IS NULL OR line != prev) AS keep
+  FROM pos
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       sha256(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                                  ORDER BY pos), '')) AS collapsed_sha256
+FROM flag
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -3978,6 +4043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fork_pairs": _q_fork_pairs,
         "embedding_outliers": _q_embedding_outliers,
         "topo_order": _q_topo_order,
+        "repo_quota_cap": _q_repo_quota_cap,
+        "collapse_runs": _q_collapse_runs,
     }
 
 
@@ -4055,6 +4122,8 @@ def oracle_sql() -> dict[str, str]:
         "fork_pairs": _SQL_FORK_PAIRS,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "topo_order": _sql_topo_order(),
+        "repo_quota_cap": _SQL_REPO_QUOTA_CAP,
+        "collapse_runs": _SQL_COLLAPSE_RUNS,
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

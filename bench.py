@@ -555,6 +555,12 @@ def main() -> None:
     # topological layering: depth-of-DAG iterative rounds over short-key
     # joins (iterative class, like pagerank — min-of-2)
     timed("topo_order", lambda: _noop(em._q_topo_order(spark, SF_DIR)), runs=2)
+    # per-repo quota cap: ids-only window rank + bounded broadcast semi-join
+    timed(
+        "repo_quota_cap", lambda: _noop(em._q_repo_quota_cap(spark, SF_DIR))
+    )
+    # intra-doc run collapse: row-local HOFs, zero Exchange
+    timed("collapse_runs", lambda: _noop(em._q_collapse_runs(spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)

@@ -112,3 +112,54 @@ def dedup_lines(
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
     )
+
+
+def collapse_runs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document repetition removal: collapse every run of identical
+    consecutive lines to its first line.
+
+    The cross-document pass above removes boilerplate shared BETWEEN
+    files; generated and minified code also repeats lines WITHIN one file
+    (walls of ``,``-rows in fixture dumps, repeated separator/blank lines,
+    unrolled stub blocks).  Collapsing runs — not global first-occurrence
+    within the file, which would merge legitimately repeated code like
+    ``}`` closers across different blocks — is the conservative transform
+    a code corpus can survive.
+
+    Output: ``id_col``, ``n_lines``, ``n_kept``, ``collapsed_sha256``
+    (sha256 of the rewritten text; the hash travels, the text does not —
+    callers that want the rewrite apply the same row-local expression).
+
+    Scale shape (100 TB lens): entirely row-local — split, shift-by-one
+    zip, filter, rejoin, hash are all higher-order functions inside
+    whole-stage codegen.  Zero Exchange, zero UDF, no state: the operator
+    costs one scan at any corpus size.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    # previous-line array: [NULL, lines[0], ..., lines[n-2]] — zip_with
+    # pairs every line with its predecessor so "run continues" is a
+    # row-local comparison, no window and no explode
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        lines,
+        prev,
+        lambda a, b: F.struct(
+            a.alias("v"), (b.isNull() | (a != b)).alias("keep")
+        ),
+    )
+    kept = F.filter(pairs, lambda p: p["keep"])
+    new_text = F.array_join(F.transform(kept, lambda p: p["v"]), "\n")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.sha2(F.encode(new_text, "UTF-8"), 256).alias("collapsed_sha256"),
+    )

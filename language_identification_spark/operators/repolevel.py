@@ -145,6 +145,53 @@ def fork_pairs(
     return out.select("repo_a", "repo_b", "n_shared", "n_a", "n_b", "jaccard_milli")
 
 
+def quota_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    quota: int = 100,
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most ``quota`` files per repo, selected deterministically.
+
+    Mega-repos dominate naive corpus samples (one monorepo can out-mass a
+    thousand median repos); training mixes cap per-repo contribution so no
+    single origin owns the gradient (The Stack v2 and StarCoder2 both cap
+    or down-weight giant repos).  Selection must be reproducible across
+    runs, retries, and engines, so the ``quota`` survivors are the rows
+    with the smallest ``sha256("<salt>|<key>")`` digest (key ascending as
+    the tie-break — digests of distinct keys never collide in practice,
+    but the output contract must not depend on that), NOT ``df.sample``
+    or ``F.rand``.
+
+    Scale shape (100 TB lens): content never shuffles — the rank runs on a
+    (repo, key, 64-hex digest) projection, so the window Exchange carries
+    ids only.  The kept-key table is bounded at ``quota x #repos`` BY
+    CONSTRUCTION, which is what makes the broadcast semi-join back to the
+    corpus safe at any corpus size (same pattern as
+    ``apply_repo_filter``).  Mega-repo skew inside the window sorts only
+    that repo's ids; ranking is one sort of O(repo size) ids, not content.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    from pyspark.sql import Window
+
+    digest = F.sha2(
+        F.encode(
+            F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")), "UTF-8"
+        ),
+        256,
+    )
+    ids = df.select(F.col(group_col), F.col(key_col), digest.alias("_qh"))
+    w = Window.partitionBy(group_col).orderBy(F.col("_qh"), F.col(key_col))
+    kept = (
+        ids.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.lit(int(quota)))
+        .select(group_col, key_col)
+    )
+    return df.join(F.broadcast(kept), on=[group_col, key_col], how="left_semi")
+
+
 def apply_repo_filter(
     df: DataFrame,
     verdicts: DataFrame,

@@ -129,3 +129,43 @@ def test_repo_rollup_partial_aggregation(repo_docs):
     plan = repo_rollup(repo_docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "text" not in plan.split("Exchange")[1].split("HashAggregate")[0]
+
+
+def test_quota_cap_counts_and_determinism(repo_docs):
+    from language_identification_spark.operators.repolevel import quota_cap
+
+    capped = quota_cap(repo_docs, quota=7, salt="t")
+    counts = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"good": 7, "bad": 7, "solo": 1}
+    # survivors are exactly the quota smallest sha256("t|<doc_id>") digests
+    # per repo — reimplemented with stdlib hashlib
+    rows = repo_docs.select("doc_id", "source").collect()
+    by_repo: dict[str, list[int]] = {}
+    for r in rows:
+        by_repo.setdefault(r["source"], []).append(r["doc_id"])
+    expect = set()
+    for repo, ids in by_repo.items():
+        ranked = sorted(ids, key=lambda i: (hashlib.sha256(f"t|{i}".encode()).hexdigest(), i))
+        expect |= {(repo, i) for i in ranked[:7]}
+    got = {(r["source"], r["doc_id"]) for r in capped.select("source", "doc_id").collect()}
+    assert got == expect
+    # deterministic: a second run selects the identical row set
+    again = {
+        (r["source"], r["doc_id"])
+        for r in quota_cap(repo_docs, quota=7, salt="t").select("source", "doc_id").collect()
+    }
+    assert again == got
+
+
+def test_quota_cap_full_rows_and_validation(repo_docs):
+    from language_identification_spark.operators.repolevel import quota_cap
+
+    # the full row (text included) survives the semi-join untouched
+    capped = quota_cap(repo_docs, quota=1000, salt="t")
+    assert capped.count() == repo_docs.count()
+    assert set(capped.columns) == set(repo_docs.columns)
+    with pytest.raises(ValueError):
+        quota_cap(repo_docs, quota=0)

@@ -93,3 +93,41 @@ def test_plan_is_pure_catalyst(docs):
     assert "EvalPython" not in plan
     # winner table aggregates map-side before its shuffle (partial_min)
     assert "partial_min" in plan
+
+
+def _py_collapse(text):
+    lines = (text or "").split("\n")
+    kept = [l for i, l in enumerate(lines) if i == 0 or l != lines[i - 1]]
+    return len(lines), len(kept), "\n".join(kept)
+
+
+def test_collapse_runs_matches_independent_python(spark):
+    import hashlib
+
+    from language_identification_spark.operators.linededup import collapse_runs
+
+    rows = [
+        (0, "a\na\na\nb\na\na"),          # runs collapse, non-adjacent 'a' survives
+        (1, "x\n\n\n\ny\ny"),             # blank-line runs collapse too
+        (2, ""),                            # empty text -> single empty line kept
+        (3, None),                          # NULL text behaves as empty
+        (4, "only"),                       # single line untouched
+        (5, "s\ns"),                       # two-line run -> one
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in collapse_runs(docs).collect()}
+    for doc_id, text in rows:
+        n_lines, n_kept, new_text = _py_collapse(text)
+        r = got[doc_id]
+        assert r["n_lines"] == n_lines, doc_id
+        assert r["n_kept"] == n_kept, doc_id
+        assert r["collapsed_sha256"] == hashlib.sha256(new_text.encode()).hexdigest(), doc_id
+
+
+def test_collapse_runs_zero_exchange(spark):
+    from language_identification_spark.operators.linededup import collapse_runs
+
+    docs = spark.createDataFrame([(0, "a\na")], "doc_id long, text string")
+    plan = collapse_runs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
