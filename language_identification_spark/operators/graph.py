@@ -175,13 +175,17 @@ def topo_layers(
     edges = edges.persist()
     edges.count()
 
+    obs0 = Observation()
     assigned = _cut(
         nodes.join(
             edges.select(F.col("dst").alias("node")).distinct(),
             "node",
             "left_anti",
-        ).select("node", F.lit(0).cast("long").alias("layer"))
+        )
+        .select("node", F.lit(0).cast("long").alias("layer"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
     )
+    n_assigned = int(obs0.get["n"])
     try:
         for _ in range(max_iters):
             # a dst is ready when EVERY in-edge src already has a layer:
@@ -208,9 +212,22 @@ def topo_layers(
                     (F.col("max_layer") + 1).cast("long").alias("layer"),
                 )
             )
-            if ready.isEmpty():
+            # fixpoint detection rides the lineage-cut materialization as an
+            # Observation (same pattern as pagerank_int's dangling mass):
+            # every ready row is new by the anti-join, so "no new rows" is
+            # exactly "assignment count unchanged" — one job per round
+            # instead of a separate isEmpty() probe plus the cut
+            obs = Observation()
+            new_assigned = _cut(
+                assigned.unionByName(ready).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
+            )
+            n_now = int(obs.get["n"])
+            if n_now == n_assigned:
                 break
-            assigned = _cut(assigned.unionByName(ready))
+            assigned = new_assigned
+            n_assigned = n_now
         leftover = nodes.join(assigned, "node", "left_anti").select(
             "node", F.lit(-1).cast("long").alias("layer")
         )
