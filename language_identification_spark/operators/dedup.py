@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -604,21 +604,37 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # convergence detection rides the propagation job as an Observation
+        # (docs/SCALE.md "iterative operators"): tag each node's OWN label
+        # in the union, aggregate old and new labels together, and observe
+        # the changed count during the lineage-cut materialization — one
+        # job per round instead of propagation + a separate join/count.
+        # min(comp) <= own comp always, so "changed" is exactly "min over
+        # self+neighbors strictly improved".
         neighbor = sym.join(
             comp.withColumnRenamed("node", "dst"), "dst"
-        ).select(F.col("src").alias("node"), F.col("comp"))
+        ).select(
+            F.col("src").alias("node"), F.col("comp"), F.lit(False).alias("own")
+        )
+        tagged = comp.withColumn("own", F.lit(True)).unionByName(neighbor)
+        obs = Observation()
         new_comp = (
-            comp.unionByName(neighbor)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            tagged.groupBy("node")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("own"), F.col("comp"))).alias("comp_old"),
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("comp") != F.col("comp_old")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+            .select("node", "comp")
             .localCheckpoint()
         )
-        changed = (
-            new_comp.withColumnRenamed("comp", "comp_new")
-            .join(comp, "node")
-            .filter(F.col("comp_new") != F.col("comp"))
-            .count()
-        )
+        changed = int(obs.get["changed"])
         comp = new_comp
         if changed == 0:
             break
