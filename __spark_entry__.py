@@ -3798,6 +3798,81 @@ WHERE (1000 * n_shared) // (sa.n + sb.n - n_shared) >= 150
 """
 
 
+def _q_fork_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork-family collapse over the same planted-fork corpus as
+    `fork_pairs`: pair mining -> large-star/small-star closure -> one
+    winner per cluster (most distinct file contents, name-asc tiebreak).
+    Every post-pairing table is O(#repos); the oracle re-derives the
+    closure with a recursive CTE and the winner with the same window."""
+    from language_identification_spark.operators.repolevel import collapse_forks
+
+    docs = _docs(spark, sf_dir)
+    forked = docs.filter(
+        (F.col("doc_id") % 3 == 0)
+        & F.col("source").isin("src0", "src1", "src2", "src3")
+    ).withColumn("source", F.concat(F.lit("fork_"), F.col("source")))
+    corpus = docs.select("source", "text").unionByName(
+        forked.select("source", "text")
+    )
+    return collapse_forks(corpus, min_jaccard_milli=150)
+
+
+_SQL_FORK_COLLAPSE = """
+WITH RECURSIVE corpus AS (
+  SELECT source AS repo, coalesce(text, '') AS t FROM documents
+  UNION ALL
+  SELECT 'fork_' || source, coalesce(text, '') FROM documents
+  WHERE doc_id % 3 = 0 AND source IN ('src0', 'src1', 'src2', 'src3')
+),
+files AS MATERIALIZED (SELECT DISTINCT repo, sha256(t) AS h FROM corpus),
+sizes AS MATERIALIZED (SELECT repo, count(*) AS n FROM files GROUP BY repo),
+eligible AS (SELECT h FROM files GROUP BY h HAVING count(*) <= 64),
+posting AS MATERIALIZED (SELECT f.repo, f.h FROM files f JOIN eligible e USING (h)),
+shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS n_shared
+  FROM posting a JOIN posting b ON a.h = b.h AND a.repo < b.repo
+  GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT repo_a, repo_b
+  FROM shared
+  JOIN sizes sa ON sa.repo = shared.repo_a
+  JOIN sizes sb ON sb.repo = shared.repo_b
+  WHERE (1000 * n_shared) // (sa.n + sb.n - n_shared) >= 150
+),
+edges AS (
+  SELECT repo_a AS src, repo_b AS dst FROM pairs
+  UNION ALL
+  SELECT repo_b, repo_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+members AS (
+  SELECT c.node, c.comp, s.n AS n_files
+  FROM comp c JOIN sizes s ON s.repo = c.node
+),
+rep AS (
+  SELECT comp, node AS rep_repo FROM (
+    SELECT comp, node,
+           row_number() OVER (PARTITION BY comp
+                              ORDER BY n_files DESC, node ASC) AS rn
+    FROM members
+  ) WHERE rn = 1
+)
+SELECT s.repo AS repo,
+       coalesce(r.rep_repo, s.repo) AS rep_repo,
+       CAST(s.n AS BIGINT) AS n_files,
+       (coalesce(r.rep_repo, s.repo) = s.repo) AS is_rep
+FROM sizes s
+LEFT JOIN comp c ON c.node = s.repo
+LEFT JOIN rep r ON r.comp = c.comp
+"""
+
+
 def _q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dependency-ordered corpus layering: file-level import edges (module
     mod_K is *defined by* the lowest doc_id with doc_id%40==K, imported by
@@ -4041,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_secrets": _q_entropy_secrets,
         "snapshot_diff": _q_snapshot_diff,
         "fork_pairs": _q_fork_pairs,
+        "fork_collapse": _q_fork_collapse,
         "embedding_outliers": _q_embedding_outliers,
         "topo_order": _q_topo_order,
         "repo_quota_cap": _q_repo_quota_cap,
@@ -4120,6 +4196,7 @@ def oracle_sql() -> dict[str, str]:
         "entropy_secrets": _sql_entropy_secrets(),
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "fork_pairs": _SQL_FORK_PAIRS,
+        "fork_collapse": _SQL_FORK_COLLAPSE,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "topo_order": _sql_topo_order(),
         "repo_quota_cap": _SQL_REPO_QUOTA_CAP,

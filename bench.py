@@ -547,6 +547,8 @@ def main() -> None:
     timed("snapshot_diff", lambda: _noop(em._q_snapshot_diff(spark, SF_DIR)))
     # fork detection: distinct + capped posting self-join on file hashes
     timed("fork_pairs", lambda: _noop(em._q_fork_pairs(spark, SF_DIR)))
+    # fork-family collapse: pairs -> star closure -> winner per cluster
+    timed("fork_collapse", lambda: _noop(em._q_fork_collapse(spark, SF_DIR)), runs=2)
     # embedding-norm outliers: row-local norm fold + label-stats broadcast
     timed(
         "embedding_outliers",

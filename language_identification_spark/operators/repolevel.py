@@ -145,6 +145,77 @@ def fork_pairs(
     return out.select("repo_a", "repo_b", "n_shared", "n_a", "n_b", "jaccard_milli")
 
 
+def collapse_forks(
+    df: DataFrame,
+    repo_col: str = "source",
+    text_col: str = "text",
+    min_jaccard_milli: int = 200,
+    max_posting: int = 64,
+) -> DataFrame:
+    """One representative repo per fork/mirror cluster.
+
+    ``fork_pairs`` mines which repos are forks of each other; collapsing
+    them needs the transitive closure (A forks B, B forks C — one family)
+    and a deterministic winner.  Clusters come from the O(log n)
+    large-star/small-star contraction over the pair graph; the winner per
+    cluster is the repo with the MOST distinct file contents (the fork
+    family's superset candidate), repo name ascending as the tie-break.
+
+    Output: one row per repo — ``repo``, ``rep_repo`` (its cluster's
+    winner; itself when unclustered), ``n_files`` (distinct content
+    hashes), ``is_rep``.  Filtering a corpus to representatives is then a
+    broadcast semi-join on ``is_rep`` rows, same pattern as
+    ``apply_repo_filter``.
+
+    Scale shape (100 TB lens): every table past the (already skew-capped)
+    pair mining is O(#repos) — cluster labels, size table, winner
+    selection — so the window sorts per-cluster member lists (fork
+    families: tens, not millions) and every join broadcasts.  Content is
+    hashed scan-side in ``fork_pairs`` and never shuffles.
+    """
+    from pyspark.sql import Window
+
+    from language_identification_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = fork_pairs(df, repo_col, text_col, min_jaccard_milli, max_posting)
+    comps = connected_components_star(pairs, "repo_a", "repo_b")
+    sizes = (
+        df.select(
+            F.col(repo_col).alias("repo"),
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
+        )
+        .distinct()
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+    members = comps.join(
+        F.broadcast(sizes.withColumnRenamed("repo", "node")), "node"
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_files").desc(), F.col("node").asc()
+    )
+    rep = (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("comp", F.col("node").alias("rep_repo"))
+    )
+    out = (
+        sizes.join(
+            F.broadcast(comps.withColumnRenamed("node", "repo")), "repo", "left"
+        )
+        .join(F.broadcast(rep), "comp", "left")
+        .select(
+            "repo",
+            F.coalesce("rep_repo", "repo").alias("rep_repo"),
+            F.col("n_files").cast("long").alias("n_files"),
+            (F.coalesce("rep_repo", "repo") == F.col("repo")).alias("is_rep"),
+        )
+    )
+    return out
+
+
 def quota_cap(
     df: DataFrame,
     group_col: str = "source",

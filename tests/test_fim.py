@@ -169,3 +169,34 @@ def test_quota_cap_full_rows_and_validation(repo_docs):
     assert set(capped.columns) == set(repo_docs.columns)
     with pytest.raises(ValueError):
         quota_cap(repo_docs, quota=0)
+
+
+def test_collapse_forks_representatives(spark):
+    from language_identification_spark.operators.repolevel import collapse_forks
+
+    rows = []
+    # upstream with 10 distinct files; fork carries 6 of them -> jaccard 0.6
+    for i in range(10):
+        rows.append((f"file body {i}", "up"))
+    for i in range(6):
+        rows.append((f"file body {i}", "fork"))
+    # chained second fork sharing 5 files with "fork" (and with "up"):
+    # transitive closure must put all three in one family
+    for i in range(5):
+        rows.append((f"file body {i}", "fork2"))
+    # unrelated repo
+    rows.append(("totally different", "solo"))
+    df = spark.createDataFrame(rows, "text string, source string")
+    got = {r["repo"]: r for r in collapse_forks(df, min_jaccard_milli=400).collect()}
+    assert got["up"]["is_rep"] is True
+    assert got["fork"]["rep_repo"] == "up"
+    assert got["fork2"]["rep_repo"] == "up"
+    assert got["solo"]["is_rep"] is True and got["solo"]["rep_repo"] == "solo"
+    assert got["up"]["n_files"] == 10 and got["fork"]["n_files"] == 6
+    # ties break by name: two equal-size mutual forks -> lexicographic min wins
+    tie = spark.createDataFrame(
+        [(f"t {i}", r) for i in range(4) for r in ("b_repo", "a_repo")],
+        "text string, source string",
+    )
+    tg = {r["repo"]: r for r in collapse_forks(tie, min_jaccard_milli=900).collect()}
+    assert tg["a_repo"]["is_rep"] is True and tg["b_repo"]["rep_repo"] == "a_repo"
