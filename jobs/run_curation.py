@@ -87,6 +87,16 @@ def main() -> None:
                     "training-order shuffle with this seed")
     ap.add_argument("--shuffle-shards", type=int, default=1024)
     ap.add_argument("--line-dedup", action="store_true")
+    ap.add_argument("--fork-collapse", type=int, default=None, metavar="J_MILLI",
+                    help="collapse fork families first: keep only files of each "
+                         "cluster's representative repo (exact Jaccard over "
+                         "file-hash sets >= J_MILLI/1000)")
+    ap.add_argument("--repo-quota", type=int, default=None, metavar="K",
+                    help="keep at most K files per repo, smallest-digest "
+                         "selection (deterministic mega-repo downweighting)")
+    ap.add_argument("--collapse-runs", action="store_true",
+                    help="rewrite each file collapsing runs of identical "
+                         "consecutive lines (row-local, zero shuffle)")
     ap.add_argument("--span-dedup", type=int, default=None, metavar="N",
                     help="remove cross-doc repeated word N-gram spans "
                     "(ExactSubstr-style rewrite)")
@@ -171,7 +181,47 @@ def main() -> None:
 
         stage("license_filter", _license_filter)
 
+    if args.fork_collapse:
+        from language_identification_spark.operators.repolevel import (
+            collapse_forks,
+        )
+
+        def _fork_collapse(df):
+            # verdict table is O(#repos); keep only representative repos'
+            # files (broadcast semi-join, same pattern as apply_repo_filter)
+            verdict = collapse_forks(
+                df, repo_col=args.repo_col, text_col=args.text_col,
+                min_jaccard_milli=args.fork_collapse,
+            )
+            reps = verdict.filter(F.col("is_rep")).select(
+                F.col("repo").alias(args.repo_col)
+            )
+            return df.join(F.broadcast(reps), args.repo_col, "left_semi")
+
+        stage("fork_collapse", _fork_collapse)
+
+    if args.repo_quota:
+        from language_identification_spark.operators.repolevel import quota_cap
+
+        stage(
+            "repo_quota",
+            lambda df: quota_cap(
+                df, group_col=args.repo_col, key_col=args.id_col,
+                quota=args.repo_quota,
+            ),
+        )
+
     stage("exact_dedup", _exact_dedup_corpus)
+
+    if args.collapse_runs:
+        from language_identification_spark.operators.linededup import (
+            collapse_runs_rewrite,
+        )
+
+        stage(
+            "collapse_runs",
+            lambda df: collapse_runs_rewrite(df, text_col=args.text_col),
+        )
 
     if args.line_dedup:
         # dedup_lines rebuilds (id, text); re-attach the metadata columns

@@ -139,11 +139,23 @@ def collapse_runs(
     whole-stage codegen.  Zero Exchange, zero UDF, no state: the operator
     costs one scan at any corpus size.
     """
+    # previous-line shift + zip_with keep flags live in
+    # _collapsed_lines_expr (shared with collapse_runs_rewrite)
+    lines, kept = _collapsed_lines_expr(text_col)
+    new_text = F.array_join(F.transform(kept, lambda p: p["v"]), "\n")
+    return docs.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.sha2(F.encode(new_text, "UTF-8"), 256).alias("collapsed_sha256"),
+    )
+
+
+def _collapsed_lines_expr(text_col: str):
+    """Kept-lines array for the run collapse — shared by the stats/hash
+    reporter and the corpus rewrite so the two can never drift."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(t, "\n")
-    # previous-line array: [NULL, lines[0], ..., lines[n-2]] — zip_with
-    # pairs every line with its predecessor so "run continues" is a
-    # row-local comparison, no window and no explode
     prev = F.concat(
         F.array(F.lit(None).cast("string")),
         F.slice(lines, 1, F.greatest(F.size(lines) - 1, F.lit(0))),
@@ -156,10 +168,16 @@ def collapse_runs(
         ),
     )
     kept = F.filter(pairs, lambda p: p["keep"])
+    return lines, kept
+
+
+def collapse_runs_rewrite(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus->corpus form of the run collapse: rewrite ``text_col`` in
+    place (every other column passes through untouched).  Same row-local
+    zero-Exchange expression as ``collapse_runs``."""
+    _, kept = _collapsed_lines_expr(text_col)
     new_text = F.array_join(F.transform(kept, lambda p: p["v"]), "\n")
-    return docs.select(
-        F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.sha2(F.encode(new_text, "UTF-8"), 256).alias("collapsed_sha256"),
-    )
+    return docs.withColumn(text_col, new_text)

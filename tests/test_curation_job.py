@@ -306,3 +306,56 @@ def test_rank_weighting_ignores_out_of_corpus_owner_repos(
     exp = scalar_pagerank(["repoA", "repoB", "repoC"],
                           [("repoA", "repoB"), ("repoC", "repoB")], n_iters=4)
     assert {k: got[k] for k in exp} == exp
+
+
+def test_curation_job_fork_quota_collapse_stages(
+    spark, tmp_path, monkeypatch, capsys
+):
+    src = str(tmp_path / "docs.parquet")
+    rows = []
+    # repo "up" has 6 files; repo "fork_up" carries 4 of them (jaccard 4/6)
+    for i in range(6):
+        rows.append((i, f"file {i}\nfile {i}\nuniq {i}", "en", "up"))
+    for i in range(4):
+        rows.append((10 + i, f"file {i}\nfile {i}\nuniq {i}", "en", "fork_up"))
+    # big solo repo with 5 files, all with a duplicate-run body
+    for i in range(5):
+        rows.append((20 + i, f"x\nx\nx\nbody {i}", "en", "solo"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py", "--source", src, "--out", out,
+            "--fork-collapse", "500", "--repo-quota", "3", "--collapse-runs",
+        ],
+    )
+    run_curation.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # fork stage dropped the smaller fork repo wholesale
+    fc = spark.read.parquet(report["fork_collapse"])
+    assert set(r["source"] for r in fc.select("source").distinct().collect()) == {
+        "up", "solo"
+    }
+    # quota stage capped both surviving repos at 3 files
+    q = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(report["repo_quota"])
+        .groupBy("source").count().withColumnRenamed("count", "n").collect()
+    }
+    assert q == {"up": 3, "solo": 3}
+    # run collapse rewrote the duplicate-run bodies, kept metadata columns
+    final = spark.read.parquet(report["collapse_runs"])
+    assert {"doc_id", "text", "lang", "source"} <= set(final.columns)
+    for r in final.filter(final.source == "solo").collect():
+        assert r["text"].startswith("x\nbody")
+    for r in final.filter(final.source == "up").collect():
+        i = r["doc_id"]
+        assert r["text"] == f"file {i}\nuniq {i}"
