@@ -126,3 +126,24 @@ def test_winnow_dup_pairs_plan_shape(spark):
     # content is dropped before the lineage cut: no text column anywhere
     # in the executed plan (the checkpointed table is (id, fp-array) only)
     assert "text#" not in phys, phys
+
+
+def test_quota_cap_window_branch_ids_only(spark, tmp_path_factory):
+    """quota_cap's rank must run on an ids-only scan: the parquet source
+    appears twice in the plan (window branch + output side) and the window
+    branch's ReadSchema must NOT include the content column — content never
+    enters the rank Exchange (100 TB: the shuffle carries ids + digests)."""
+    from language_identification_spark.operators.repolevel import quota_cap
+
+    d = str(tmp_path_factory.mktemp("quota") / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"body {i}", f"r{i % 3}") for i in range(30)],
+        "doc_id long, text string, source string",
+    ).write.parquet(d)
+    df = spark.read.parquet(d)
+    plan = _formatted_plan(quota_cap(df, quota=2))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(schemas) == 2, plan
+    ids_only = [l for l in schemas if "text" not in l]
+    assert len(ids_only) == 1, schemas
+    assert "doc_id" in ids_only[0] and "source" in ids_only[0]
