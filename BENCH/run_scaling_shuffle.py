@@ -1,0 +1,157 @@
+"""Scaling evidence for the SHUFFLE-HEAVY path (MinHash jaccard_pairs).
+
+The official harness (`run_scaling.py`) measures the north-rule workload,
+`quality_filter`, which is embarrassingly parallel (0 Exchange — pinned by
+test) and reads 0.81–0.99 efficiency across eight runs.  A 100 TB reviewer
+should also ask how the OTHER half of the engine scales: the dedup family
+shuffles (banding Exchange, posting self-join, verification join) and has a
+real serial fraction — per-stage barriers, the staged feature
+materialization, driver coordination — that is FIXED per job while the
+parallel work grows with the input.
+
+So the informative measurement is not one efficiency number but the curve
+of efficiency vs input size: Amdahl's fixed fraction amortizing away is
+exactly what "would this survive 100x?" asks.  This harness runs
+`jaccard_pairs` end-to-end (noop sink) at 1x/4x/8x the sf0.1 documents
+table (copies get a per-copy text prefix so cross-copy pairs stay below
+threshold and candidate load scales ~linearly), each at 2 and 8 cores,
+fresh JVM per cell, steady-state min per child (same child protocol as
+run_scaling.py), host-probe gated.
+
+Usage: python BENCH/run_scaling_shuffle.py [--sizes 1,4,8]
+Emits one JSON line; appends a section to SCALING_RUNS.md with --append.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from language_identification_spark.session import get_spark
+from language_identification_spark.operators.dedup import jaccard_pairs
+
+spark = get_spark("scaling-shuffle", cores={cores})
+base = spark.read.parquet({src!r}).select("doc_id", "text")
+docs = base
+for k in range(1, {mult}):
+    docs = docs.unionByName(
+        base.select(
+            (F.col("doc_id") + 1000000 * k).alias("doc_id"),
+            F.concat(F.lit(f"v{{k}} "), F.coalesce("text", F.lit(""))).alias("text"),
+        )
+    )
+
+def one():
+    t0 = time.monotonic()
+    jaccard_pairs(docs, "text", "doc_id", threshold=0.5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return round(time.monotonic() - t0, 3)
+
+walls = [one()]  # first pass doubles as warmup; min discards it anyway
+stale = 0
+for _ in range(5):
+    walls.append(one())
+    if walls[-1] >= 0.95 * min(walls[:-1]):
+        stale += 1
+        if stale >= 2:
+            break
+    else:
+        stale = 0
+print("RESULT " + json.dumps({{"cores": {cores}, "mult": {mult},
+      "wall": min(walls), "walls": walls}}))
+spark.stop()
+"""
+
+
+def run_cell(cores: int, mult: int, src: str) -> tuple[float, list[float]]:
+    code = CHILD.format(repo=REPO, cores=cores, mult=mult, src=src)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            r = json.loads(line[len("RESULT "):])
+            return float(r["wall"]), list(r["walls"])
+    raise RuntimeError(f"no RESULT from cores={cores} mult={mult}:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="1,4,8")
+    ap.add_argument("--src", default="/root/testdata/sf0.1/documents.parquet")
+    ap.add_argument("--append", action="store_true")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    sys.path.insert(0, REPO)
+    from bench import wait_for_clean_phase
+
+    thr = float(os.environ.get("BENCH_PROBE_THRESHOLD_S", "1.5"))
+    wait = float(os.environ.get("BENCH_PROBE_MAX_WAIT_S", "120"))
+
+    rows = []
+    for mult in sizes:
+        probes = wait_for_clean_phase(thr, wait)
+        lo, walls_lo = run_cell(2, mult, args.src)
+        hi, walls_hi = run_cell(8, mult, args.src)
+        eff = round((lo / hi) / 4.0, 3)
+        rows.append(
+            {
+                "mult": mult,
+                "eff": eff,
+                "wall_2c": lo,
+                "wall_8c": hi,
+                "walls_2c": walls_lo,
+                "walls_8c": walls_hi,
+                "probes": probes,
+            }
+        )
+        print(
+            f"[shuffle-scaling] {mult}x: 2c={lo}s 8c={hi}s eff={eff}",
+            file=sys.stderr,
+        )
+    out = {"workload": "jaccard_pairs", "pair": "2->8 cores", "points": rows}
+    print(json.dumps(out))
+
+    if args.append:
+        md = os.path.join(REPO, "BENCH", "SCALING_RUNS.md")
+        with open(md, "a") as f:
+            f.write(
+                "\n\n## Shuffle-path scaling: jaccard_pairs, efficiency vs"
+                " input size (2→8 cores)\n\n"
+                "The dedup family's Exchanges have a fixed serial fraction"
+                " (stage barriers,\nstaged feature materialization, driver"
+                " coordination) that amortizes as the\ninput grows — the"
+                " Amdahl curve a 100 TB deployment rides:\n\n"
+                "| input | 2-core wall (s) | 8-core wall (s) | efficiency |\n"
+                "|---|---|---|---|\n"
+            )
+            for r in rows:
+                f.write(
+                    f"| {r['mult']}x sf0.1 ({r['mult']*100}k docs) |"
+                    f" {r['wall_2c']} | {r['wall_8c']} | {r['eff']} |\n"
+                )
+            f.write(
+                "\nRaw per-pass walls (steady-state child protocol, fresh"
+                " JVM per cell,\nhost-probe gated):\n\n"
+            )
+            for r in rows:
+                f.write(
+                    f"- {r['mult']}x: 2c {r['walls_2c']}, 8c {r['walls_8c']},"
+                    f" probes {r['probes']}\n"
+                )
+
+
+if __name__ == "__main__":
+    main()
