@@ -3798,6 +3798,102 @@ WHERE (1000 * n_shared) // (sa.n + sb.n - n_shared) >= 150
 """
 
 
+def _q_repo_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-context assembly (StarCoder2-style training documents): the
+    planted-import corpus layered by `topo_layers` (same DAG as
+    `topo_order`), then every repo's files concatenated in (layer,
+    doc_id) order — definitions before uses — inside one grouped
+    aggregation (array_sort of structs; no global sort, no window).  The
+    hash of the assembled context travels, the text does not; the oracle
+    re-assembles per repo with string_agg ORDER BY (layer, doc_id) and
+    must match the sha256 byte-for-byte."""
+    from language_identification_spark.operators.graph import (
+        extract_imports,
+        repo_context_concat,
+        topo_layers,
+    )
+
+    docs = _plant_imports(_docs(spark, sf_dir))
+    imports = extract_imports(docs).withColumn(
+        "k", F.substring(F.col("module"), 5, 10).cast("long")
+    )
+    fowners = docs.groupBy(F.pmod(F.col("doc_id"), F.lit(40)).alias("k")).agg(
+        F.min("doc_id").alias("owner")
+    )
+    fedges = (
+        imports.join(fowners, "k")
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select(F.col("owner").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    layers = topo_layers(nodes, fedges)
+    return repo_context_concat(docs, layers)
+
+
+_SQL_REPO_CONTEXT = """
+WITH topo AS (
+  WITH RECURSIVE imports AS MATERIALIZED (
+    SELECT DISTINCT doc_id, m AS module
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 > 0 THEN
+               array_to_string(list_transform(range(0, (doc_id % 4)::INT), j ->
+                 CASE WHEN j % 2 = 0
+                   THEN 'import mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+                   ELSE 'from mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+                        || ' import helper'
+                 END), chr(10)) || chr(10) || coalesce(text, '')
+             ELSE text END AS text
+      FROM documents
+    ) planted,
+         LATERAL unnest(regexp_extract_all(
+           substr(coalesce(text, ''), 1, 2048),
+           '(?m)^(?:import|from)[ ]+([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS t(m)
+  ),
+  fowners AS MATERIALIZED (
+    SELECT doc_id % 40 AS k, min(doc_id) AS owner FROM documents GROUP BY 1
+  ),
+  fedges AS MATERIALIZED (
+    SELECT DISTINCT o.owner AS src, i.doc_id AS dst
+    FROM imports i
+    JOIN fowners o ON o.k = CAST(substr(i.module, 5) AS BIGINT)
+    WHERE o.owner < i.doc_id
+  ),
+  walk AS (
+    SELECT doc_id AS node, 0 AS depth FROM documents
+    WHERE doc_id NOT IN (SELECT dst FROM fedges)
+    UNION
+    SELECT e.dst, w.depth + 1 FROM walk w JOIN fedges e ON e.src = w.node
+    WHERE w.depth < 64
+  )
+  SELECT node AS doc_id, CAST(max(depth) AS BIGINT) AS layer
+  FROM walk GROUP BY node
+),
+planted2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 > 0 THEN
+           array_to_string(list_transform(range(0, (doc_id % 4)::INT), j ->
+             CASE WHEN j % 2 = 0
+               THEN 'import mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+               ELSE 'from mod_' || ((doc_id * 31 + j * 17) % 40)::VARCHAR
+                    || ' import helper'
+             END), chr(10)) || chr(10) || coalesce(text, '')
+         ELSE text END AS text
+  FROM documents
+)
+SELECT p.source AS source,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(length(string_agg(coalesce(p.text, ''), chr(10)||chr(10)
+                              ORDER BY t.layer, p.doc_id)) AS BIGINT) AS n_chars,
+       sha256(string_agg(coalesce(p.text, ''), chr(10)||chr(10)
+                         ORDER BY t.layer, p.doc_id)) AS context_sha256
+FROM planted2 p
+JOIN topo t USING (doc_id)
+GROUP BY p.source
+"""
+
+
 def _q_fork_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork-family collapse over the same planted-fork corpus as
     `fork_pairs`: pair mining -> large-star/small-star closure -> one
@@ -4117,6 +4213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "fork_pairs": _q_fork_pairs,
         "fork_collapse": _q_fork_collapse,
+        "repo_context": _q_repo_context,
         "embedding_outliers": _q_embedding_outliers,
         "topo_order": _q_topo_order,
         "repo_quota_cap": _q_repo_quota_cap,
@@ -4197,6 +4294,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _SQL_SNAPSHOT_DIFF,
         "fork_pairs": _SQL_FORK_PAIRS,
         "fork_collapse": _SQL_FORK_COLLAPSE,
+        "repo_context": _SQL_REPO_CONTEXT,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "topo_order": _sql_topo_order(),
         "repo_quota_cap": _SQL_REPO_QUOTA_CAP,

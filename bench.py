@@ -557,6 +557,8 @@ def main() -> None:
     # topological layering: depth-of-DAG iterative rounds over short-key
     # joins (iterative class, like pagerank — min-of-2)
     timed("topo_order", lambda: _noop(em._q_topo_order(spark, SF_DIR)), runs=2)
+    # repo-context assembly: topo layering + per-repo ordered concat
+    timed("repo_context", lambda: _noop(em._q_repo_context(spark, SF_DIR)), runs=2)
     # per-repo quota cap: ids-only window rank + bounded broadcast semi-join
     timed(
         "repo_quota_cap", lambda: _noop(em._q_repo_quota_cap(spark, SF_DIR))

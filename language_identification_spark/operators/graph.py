@@ -340,3 +340,55 @@ def pagerank_int(
         outdeg.unpersist()
         flagged.unpersist()
         nodes.unpersist()
+
+
+def repo_context_concat(
+    docs: DataFrame,
+    layers: DataFrame,
+    repo_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """One training document per repo: every file concatenated in
+    ``(layer, id)`` order — definitions before uses (the repo-context
+    format StarCoder2-style code training uses, with ``topo_layers``
+    supplying the order).
+
+    ``layers``: (node, layer) from ``topo_layers`` over file-level import
+    edges.  Cycle-tainted files (layer -1) sort FIRST — deterministic;
+    callers that prefer to drop them filter the layers table upstream.
+
+    Output: ``repo_col``, ``n_files``, ``n_chars`` (length of the
+    assembled context), ``context_sha256`` — the hash travels, the
+    assembled text does not (same contract as ``collapse_runs``; the
+    rewrite expression is deterministic, so any consumer re-derives the
+    text identically).
+
+    Scale shape (100 TB lens): one join on the file id (the layers table
+    is (id, long) — content does not widen it) and one groupBy(repo)
+    whose collect_list is bounded by repo size — the same per-group bound
+    every repo-granularity operator here assumes; cap mega-repos upstream
+    with ``quota_cap`` and split oversized contexts downstream with
+    ``chunk_documents``.  The (layer, id) sort happens inside each group
+    via ``array_sort`` on structs — no global sort, no window.
+    """
+    j = docs.select(
+        F.col(repo_col),
+        F.col(id_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    ).join(layers.withColumnRenamed("node", id_col), id_col)
+    assembled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("layer", id_col, F.col("_t").alias("t")))
+            ),
+            lambda s: s["t"],
+        ),
+        sep,
+    )
+    return j.groupBy(repo_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.length(assembled).cast("long").alias("n_chars"),
+        F.sha2(F.encode(assembled, "UTF-8"), 256).alias("context_sha256"),
+    )

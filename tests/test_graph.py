@@ -205,3 +205,31 @@ def test_topo_layers_partition_invariance(spark):
     assert a == b
     # a simple chain layers as its position
     assert a[1] == 0 and a[8] == 7
+
+
+def test_repo_context_concat_order_and_hash(spark):
+    """Files concatenate in (layer, doc_id) order with cycle files (-1)
+    first; hash and counts match a stdlib reimplementation."""
+    import hashlib
+
+    from language_identification_spark.operators.graph import repo_context_concat
+
+    docs = spark.createDataFrame(
+        [
+            (1, "r", "uses"),       # layer 1 (depends on 2)
+            (2, "r", "defs"),       # layer 0
+            (3, "r", "tainted"),    # layer -1 (cycle sentinel)
+            (9, "s", None),         # NULL text -> empty string
+        ],
+        "doc_id long, source string, text string",
+    )
+    layers = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, -1), (9, 0)], "node long, layer long"
+    )
+    got = {r["source"]: r for r in repo_context_concat(docs, layers).collect()}
+    expect_r = "tainted\n\ndefs\n\nuses"
+    assert got["r"]["n_files"] == 3
+    assert got["r"]["n_chars"] == len(expect_r)
+    assert got["r"]["context_sha256"] == hashlib.sha256(expect_r.encode()).hexdigest()
+    assert got["s"]["n_files"] == 1 and got["s"]["n_chars"] == 0
+    assert got["s"]["context_sha256"] == hashlib.sha256(b"").hexdigest()

@@ -131,3 +131,31 @@ def test_collapse_runs_zero_exchange(spark):
     plan = collapse_runs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# --- property test (hypothesis) ----------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line = st.text(alphabet=st.sampled_from("ab \t#"), max_size=4)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.lists(_line, max_size=8), min_size=1, max_size=6))
+def test_collapse_runs_property(spark, docs_lines):
+    """Random multiline texts (repetition-prone tiny alphabet): Spark's
+    row-local collapse matches the stdlib reference on counts AND on the
+    exact rewritten bytes (via sha256)."""
+    import hashlib
+
+    from language_identification_spark.operators.linededup import collapse_runs
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in collapse_runs(df).collect()}
+    for doc_id, text in rows:
+        n_lines, n_kept, new_text = _py_collapse(text)
+        r = got[doc_id]
+        assert (r["n_lines"], r["n_kept"]) == (n_lines, n_kept)
+        assert r["collapsed_sha256"] == hashlib.sha256(new_text.encode()).hexdigest()
