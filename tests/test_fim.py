@@ -200,3 +200,26 @@ def test_collapse_forks_representatives(spark):
     )
     tg = {r["repo"]: r for r in collapse_forks(tie, min_jaccard_milli=900).collect()}
     assert tg["a_repo"]["is_rep"] is True and tg["b_repo"]["rep_repo"] == "a_repo"
+
+
+def test_new_operators_empty_corpus(spark):
+    """Empty inputs flow through without errors and with stable schemas."""
+    from language_identification_spark.operators.graph import repo_context_concat
+    from language_identification_spark.operators.linededup import (
+        collapse_runs,
+        collapse_runs_rewrite,
+    )
+    from language_identification_spark.operators.repolevel import (
+        collapse_forks,
+        quota_cap,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert quota_cap(empty, quota=5).count() == 0
+    assert collapse_forks(empty).count() == 0
+    assert collapse_runs(empty).count() == 0
+    assert collapse_runs_rewrite(empty).count() == 0
+    layers = spark.createDataFrame([], "node long, layer long")
+    out = repo_context_concat(empty, layers)
+    assert out.count() == 0
+    assert set(out.columns) == {"source", "n_files", "n_chars", "context_sha256"}
