@@ -4142,6 +4142,125 @@ GROUP BY doc_id
 """
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 within-document repetition signals (dup-line /
+    dup-paragraph fractions by count and by characters, top 2/3/4-gram
+    char fractions) + the published-threshold keep verdict — row-local
+    sort-and-fold higher-order functions, zero Exchange, zero UDF,
+    integer-ppm engine-exact arithmetic."""
+    from language_identification_spark.operators.repetition import (
+        gopher_repetition,
+    )
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+def _sql_gopher_repetition() -> str:
+    # independent derivation: UNNEST + GROUP BY occurrence counting (the
+    # Spark side is a sort-adjacency fold); duplicates = occurrences after
+    # the first, top gram = max (count, length) with integer // ppm
+    grams, tops, top_cols, top_keeps = [], [], [], []
+    thresholds = {2: 200_000, 3: 180_000, 4: 160_000}
+    for n in (2, 3, 4):
+        grams.append(f"""
+grams{n} AS (
+  SELECT w.doc_id, array_to_string(w.ws[g.i : g.i + {n - 1}], ' ') AS g
+  FROM words w, unnest(generate_series(1, len(w.ws) - {n} + 1)) AS g(i)
+  WHERE len(w.ws) >= {n}
+),
+top{n} AS (
+  SELECT doc_id, CAST(c * length(g) AS BIGINT) AS chars
+  FROM (SELECT doc_id, g, count(*) AS c,
+               row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY count(*) DESC, length(g) DESC, g) AS rn
+        FROM grams{n} GROUP BY doc_id, g)
+  WHERE rn = 1
+)""")
+        tops.append(
+            f"LEFT JOIN top{n} t{n} USING (doc_id)"
+        )
+        top_cols.append(
+            f"CASE WHEN b.n_chars > 0 THEN (CAST(1000000 AS BIGINT)"
+            f" * coalesce(t{n}.chars, 0)) // b.n_chars"
+            f" ELSE 0 END AS top_{n}gram_char_ppm"
+        )
+        top_keeps.append(
+            f"(CASE WHEN b.n_chars > 0 THEN (CAST(1000000 AS BIGINT)"
+            f" * coalesce(t{n}.chars, 0)) // b.n_chars ELSE 0 END)"
+            f" <= {thresholds[n]}"
+        )
+    part_stats = """
+{name} AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(c - 1) AS BIGINT) AS dup,
+         CAST(sum((c - 1) * len) AS BIGINT) AS dupc
+  FROM (SELECT doc_id, part, count(*) AS c, length(part) AS len
+        FROM {src} GROUP BY doc_id, part)
+  GROUP BY doc_id
+)"""
+    ppm = (
+        "CASE WHEN coalesce({den}, 0) > 0 THEN"
+        " (CAST(1000000 AS BIGINT) * coalesce({num}, 0)) // {den}"
+        " ELSE 0 END"
+    )
+    m = {
+        "dup_line_ppm": ppm.format(num="ls.dup", den="ls.n"),
+        "dup_line_char_ppm": ppm.format(num="ls.dupc", den="b.n_chars"),
+        "dup_para_ppm": ppm.format(num="ps.dup", den="ps.n"),
+        "dup_para_char_ppm": ppm.format(num="ps.dupc", den="b.n_chars"),
+    }
+    keep = " AND ".join(
+        [
+            f"({m['dup_line_ppm']}) <= 300000",
+            f"({m['dup_para_ppm']}) <= 300000",
+            f"({m['dup_line_char_ppm']}) <= 200000",
+            f"({m['dup_para_char_ppm']}) <= 200000",
+            *top_keeps,
+        ]
+    )
+    top_col_block = ",\n       ".join(top_cols)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, coalesce(text, '') AS text,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+),
+lines AS (
+  SELECT b.doc_id, l.part
+  FROM base b, unnest(string_split(b.text, chr(10))) AS l(part)
+  WHERE trim(l.part) <> ''
+),
+paras AS (
+  SELECT b.doc_id, p.part
+  FROM base b, unnest(regexp_split_to_array(b.text, '\\n\\n+')) AS p(part)
+  WHERE trim(p.part) <> ''
+),
+{part_stats.format(name="line_stats", src="lines")},
+{part_stats.format(name="para_stats", src="paras")},
+words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+  FROM base
+),
+{",".join(grams)}
+SELECT b.doc_id,
+       b.n_chars,
+       {m["dup_line_ppm"]} AS dup_line_ppm,
+       {m["dup_line_char_ppm"]} AS dup_line_char_ppm,
+       {m["dup_para_ppm"]} AS dup_para_ppm,
+       {m["dup_para_char_ppm"]} AS dup_para_char_ppm,
+       {top_col_block},
+       ({keep}) AS repetition_keep
+FROM base b
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN para_stats ps USING (doc_id)
+{" ".join(tops)}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -4218,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topo_order": _q_topo_order,
         "repo_quota_cap": _q_repo_quota_cap,
         "collapse_runs": _q_collapse_runs,
+        "gopher_repetition": _q_gopher_repetition,
     }
 
 
@@ -4299,6 +4419,7 @@ def oracle_sql() -> dict[str, str]:
         "topo_order": _sql_topo_order(),
         "repo_quota_cap": _SQL_REPO_QUOTA_CAP,
         "collapse_runs": _SQL_COLLAPSE_RUNS,
+        "gopher_repetition": _sql_gopher_repetition(),
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -1,0 +1,229 @@
+"""Gopher-style within-document repetition signals — pure Catalyst, row-local.
+
+Rae et al. 2021 ("Scaling Language Models: ... Gopher", Table A1) filter
+training documents by *internal* repetition: the fraction of duplicate
+lines / paragraphs, the fraction of characters inside them, and the
+fraction of characters covered by the single most frequent word n-gram.
+Dolma, RedPajama-v2 and FineWeb all reuse these signals.  The engine's
+existing repetition gate (``functions/heuristics.py`` distinct-line
+ratio) is the cheap early-exit form; this operator is the full,
+separately-thresholded signal set for corpus quality audits and
+mixture design.
+
+Every signal is a WITHIN-document statistic, so the whole operator is
+row-local: split → ``array_sort`` → one ``aggregate`` fold per signal,
+all higher-order functions inside whole-stage codegen.  Zero Exchange,
+zero Python, one scan at any corpus size — the 100 TB plan is the same
+plan as the laptop plan.  Sorting a document's lines costs
+O(L log L) per row, the same per-document bound every other row-local
+operator here already assumes (``collapse_runs``, ``chunk_documents``).
+
+Exact definitions (the DuckDB oracle derives them independently via
+UNNEST + GROUP BY, not by mirroring the fold):
+
+- *lines*: ``split('\\n')`` entries whose ``trim`` is non-empty;
+  *paragraphs*: ``split(/\\n\\n+/)`` likewise.  A duplicate is every
+  occurrence AFTER the first of an identical string, so
+  ``dup = sum(count - 1)`` over repeated values and
+  ``dup_chars = sum((count - 1) * length)``.
+- *words*: ``split(trim(text), /\\s+/)`` (the engine-wide token spec,
+  see ``operators/vocab.py``); an n-gram is ``n`` consecutive words
+  joined by a single space.  ``top_{n}gram_char_frac`` counts
+  ``count * length(gram)`` characters for the most frequent n-gram —
+  ties broken toward the LONGER gram (worst-case fraction,
+  deterministic across engines).  Counted even when the top count is
+  1, like Dolma's implementation.
+- Fractions are integer ppm (``x * 1_000_000 DIV denominator``,
+  engine-exact — float division rounds differently across engines):
+  line/paragraph fractions over the non-empty line/paragraph count,
+  character fractions over ``length(text)``.  Empty denominators → 0.
+
+``repetition_verdict`` applies Gopher's published thresholds (Table A1,
+in ppm): drop when dup_line_frac > 0.30, dup_para_frac > 0.30,
+dup_line_char_frac > 0.20, dup_para_char_frac > 0.20, or the top
+2/3/4-gram char fraction exceeds 0.20 / 0.18 / 0.16.
+
+No reference analog: the reference engine (see SURVEY.md) has no
+corpus-level text quality ops; this module extends the LLM-training
+surface alongside ``linededup``/``spandedup``/``collapse_runs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+# Gopher Table A1 thresholds, ppm
+DUP_LINE_PPM = 300_000
+DUP_PARA_PPM = 300_000
+DUP_LINE_CHAR_PPM = 200_000
+DUP_PARA_CHAR_PPM = 200_000
+TOP_NGRAM_CHAR_PPM = {2: 200_000, 3: 180_000, 4: 160_000}
+
+
+def _dup_fold(items: Column) -> Column:
+    """struct(n, dup, dup_chars) over an array of NON-EMPTY strings.
+
+    Sort-then-fold: after ``array_sort`` equal values are adjacent, so a
+    single pass counting ``x == prev`` sees exactly ``count - 1`` hits
+    per repeated value.  Elements are non-empty by construction, so the
+    empty-string init sentinel can never match a real element.
+    """
+    sorted_items = F.array_sort(items)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("dupc"),
+    )
+    folded = F.aggregate(
+        sorted_items,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (acc["dup"] + F.when(x == acc["prev"], 1).otherwise(0))
+            .cast("long")
+            .alias("dup"),
+            (acc["dupc"] + F.when(x == acc["prev"], F.length(x)).otherwise(0))
+            .cast("long")
+            .alias("dupc"),
+        ),
+    )
+    return F.struct(
+        F.size(items).cast("long").alias("n"),
+        folded["dup"].alias("dup"),
+        folded["dupc"].alias("dup_chars"),
+    )
+
+
+def _top_run_fold(grams: Column) -> Column:
+    """struct(best, best_len): longest equal-run in the SORTED gram array
+    = the highest n-gram count; ties keep the longer gram (worst-case
+    char fraction, deterministic).  Re-compares on every extension, so
+    no finishing step is needed."""
+    sorted_grams = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("bestlen"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).cast(
+            "long"
+        )
+        xlen = F.length(x).cast("long")
+        better = (run2 > acc["best"]) | (
+            (run2 == acc["best"]) & (xlen > acc["bestlen"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best"]).alias("best"),
+            F.when(better, xlen).otherwise(acc["bestlen"]).alias("bestlen"),
+        )
+
+    folded = F.aggregate(sorted_grams, init, merge)
+    return F.struct(
+        folded["best"].alias("best"), folded["bestlen"].alias("best_len")
+    )
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when size(words) < n)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ppm_div(num: str, den: str) -> Column:
+    """Exact integer ppm over already-LONG numerator/denominator columns.
+
+    ``DIV`` (not float-divide-and-floor): a correctly-rounded double
+    quotient sitting half an ulp below an integer floors to the wrong
+    bucket, while DuckDB's ``//`` is exact — same rationale as
+    ``operators/codestats.py``.  Numerators are pre-multiplied by PPM in
+    LONG (32-bit overflows at ~2148)."""
+    return F.when(
+        F.col(den) > 0,
+        F.expr(f"({PPM}L * {num}) DIV {den}"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Per-document Gopher repetition signals + keep verdict.
+
+    Output: ``(id_col, n_chars, dup_line_ppm, dup_line_char_ppm,
+    dup_para_ppm, dup_para_char_ppm, top_{n}gram_char_ppm ...,
+    repetition_keep)`` — all integers except the boolean verdict.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(text).cast("long")
+
+    def nonempty(parts: Column) -> Column:
+        return F.filter(parts, lambda x: F.trim(x) != F.lit(""))
+
+    lines = nonempty(F.split(text, "\n"))
+    paras = nonempty(F.split(text, r"\n\n+"))
+    words = F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+    folded = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        _dup_fold(lines).alias("_l"),
+        _dup_fold(paras).alias("_p"),
+        *[
+            _top_run_fold(_word_ngrams(words, n)).alias(f"_t{n}")
+            for n in ngram_ns
+        ],
+    ).select(
+        id_col,
+        "n_chars",
+        F.col("_l.n").alias("_l_n"),
+        F.col("_l.dup").alias("_l_dup"),
+        F.col("_l.dup_chars").alias("_l_dupc"),
+        F.col("_p.n").alias("_p_n"),
+        F.col("_p.dup").alias("_p_dup"),
+        F.col("_p.dup_chars").alias("_p_dupc"),
+        *[
+            (F.col(f"_t{n}.best") * F.col(f"_t{n}.best_len")).alias(f"_t{n}_chars")
+            for n in ngram_ns
+        ],
+    )
+    out = folded.select(
+        id_col,
+        "n_chars",
+        _ppm_div("_l_dup", "_l_n").alias("dup_line_ppm"),
+        _ppm_div("_l_dupc", "n_chars").alias("dup_line_char_ppm"),
+        _ppm_div("_p_dup", "_p_n").alias("dup_para_ppm"),
+        _ppm_div("_p_dupc", "n_chars").alias("dup_para_char_ppm"),
+        *[
+            _ppm_div(f"_t{n}_chars", "n_chars").alias(f"top_{n}gram_char_ppm")
+            for n in ngram_ns
+        ],
+    )
+    keep = (
+        (F.col("dup_line_ppm") <= DUP_LINE_PPM)
+        & (F.col("dup_para_ppm") <= DUP_PARA_PPM)
+        & (F.col("dup_line_char_ppm") <= DUP_LINE_CHAR_PPM)
+        & (F.col("dup_para_char_ppm") <= DUP_PARA_CHAR_PPM)
+    )
+    for n in ngram_ns:
+        if n in TOP_NGRAM_CHAR_PPM:
+            keep = keep & (
+                F.col(f"top_{n}gram_char_ppm") <= TOP_NGRAM_CHAR_PPM[n]
+            )
+    return out.withColumn("repetition_keep", keep)

@@ -1,0 +1,138 @@
+"""Gopher repetition signals vs an independent scalar reimplementation."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from language_identification_spark.operators.repetition import (
+    DUP_LINE_CHAR_PPM,
+    DUP_LINE_PPM,
+    PPM,
+    TOP_NGRAM_CHAR_PPM,
+    gopher_repetition,
+)
+
+# Java \s — ASCII only (Python's re \s also matches unicode spaces, which
+# Spark's split does not; pin the exact class so the scalar twin can never
+# silently diverge on exotic whitespace)
+_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def scalar_signals(text: str | None, ngram_ns=(2, 3, 4)):
+    t = text or ""
+    n_chars = len(t)
+
+    def dup_stats(parts):
+        parts = [p for p in parts if p.strip(" ") != ""]
+        counts: dict[str, int] = {}
+        for p in parts:
+            counts[p] = counts.get(p, 0) + 1
+        dup = sum(c - 1 for c in counts.values())
+        dupc = sum((c - 1) * len(v) for v, c in counts.items())
+        return len(parts), dup, dupc
+
+    def ppm(num, den):
+        return (PPM * num) // den if den > 0 else 0
+
+    ln, ld, ldc = dup_stats(t.split("\n"))
+    pn, pd, pdc = dup_stats(re.split(r"\n\n+", t))
+    stripped = t.strip(" ")
+    words = [] if stripped == "" else re.split(_WS, stripped)
+    out = {
+        "n_chars": n_chars,
+        "dup_line_ppm": ppm(ld, ln),
+        "dup_line_char_ppm": ppm(ldc, n_chars),
+        "dup_para_ppm": ppm(pd, pn),
+        "dup_para_char_ppm": ppm(pdc, n_chars),
+    }
+    for n in ngram_ns:
+        counts: dict[str, int] = {}
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+        best = max(
+            ((c, len(g)) for g, c in counts.items()), default=(0, 0)
+        )
+        out[f"top_{n}gram_char_ppm"] = ppm(best[0] * best[1], n_chars)
+    return out
+
+
+CASES = [
+    "a\nb\na\n\nc c c c c c",          # duplicate line, heavy 1-gram
+    "x y x y x y x y",                  # top 2-gram covers most chars
+    "p1\n\np1\n\np2",                  # duplicate paragraph
+    "unique lines\nall different\nhere",
+    "\tindent only\n  \nspaces",       # whitespace-only lines exempt
+    "tok " * 500,                        # long repeated word
+    "a b c d e f g h\n" * 10,          # dup lines AND dup n-grams
+    "one",                               # fewer words than any n
+    "",
+    None,
+    "xé café xé café",  # non-ASCII lengths
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, t) for i, t in enumerate(CASES)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_signals_match_scalar(docs):
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    assert len(got) == len(CASES)
+    for i, text in enumerate(CASES):
+        want = scalar_signals(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+def test_verdict_thresholds(spark):
+    # 4 identical non-empty lines -> dup_line_ppm = 750000 > 300000: drop;
+    # the control doc keeps.  NB the control must be long enough that its
+    # singleton top 2-gram covers <20% of characters — Gopher applies these
+    # thresholds after a minimum-length gate, and a 3-word document fails
+    # the top-ngram rule by construction.
+    control = " ".join(f"word{i} line{i}\n" for i in range(30))
+    rows = [(0, "same\nsame\nsame\nsame"), (1, control)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    assert got[0]["dup_line_ppm"] == 750_000 > DUP_LINE_PPM
+    assert not got[0]["repetition_keep"]
+    assert got[1]["repetition_keep"]
+
+
+def test_top_ngram_tie_prefers_longer(spark):
+    # "bb cc" and "a a" both occur once; count ties at 1, the longer gram
+    # (5 chars) must win the char fraction
+    df = spark.createDataFrame([(0, "bb cc a a")], "doc_id long, text string")
+    row = gopher_repetition(df).collect()[0]
+    # grams: "bb cc", "cc a", "a a" all count 1 -> longest is "bb cc" (5)
+    assert row["top_2gram_char_ppm"] == (PPM * 5) // 9
+
+
+def test_counts_top_gram_even_when_unique(spark):
+    # Dolma semantics: a once-occurring top gram still covers characters
+    df = spark.createDataFrame([(0, "just two")], "doc_id long, text string")
+    row = gopher_repetition(df).collect()[0]
+    assert row["top_2gram_char_ppm"] == (PPM * 8) // 8
+
+
+def test_plan_row_local_no_python(docs):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gopher_repetition(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_thresholds_are_gopher_table_a1():
+    assert DUP_LINE_PPM == 300_000
+    assert DUP_LINE_CHAR_PPM == 200_000
+    assert TOP_NGRAM_CHAR_PPM == {2: 200_000, 3: 180_000, 4: 160_000}
