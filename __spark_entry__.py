@@ -4142,6 +4142,84 @@ GROUP BY doc_id
 """
 
 
+def _plant_block_comments(docs: DataFrame) -> DataFrame:
+    """Prepend a two-line ``/* ... */`` banner on every 7th document so the
+    comment stripper's block pass (incl. multi-line ``(?s)`` matching) is
+    exercised; composed with ``_plant_code_snippets`` (which plants ``#`` /
+    ``//`` line comments) for the strip_comments oracle."""
+    banner = F.concat(
+        F.lit("/* banner "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n   generated */\n"),
+    )
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(banner, F.coalesce(F.col("text"), F.lit(""))),
+    ).otherwise(F.col("text"))
+    return docs.withColumn("text", planted)
+
+
+def _q_strip_comments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-stripping normalization census: block ``/* */`` removal +
+    full-line ``#`` / ``//`` drop as a row-local Catalyst rewrite, verified
+    by the rewritten text's sha256 (exact-rewrite check without hauling
+    text through the compare — the ``collapse_runs`` contract)."""
+    from language_identification_spark.operators.codestats import strip_comments
+
+    docs = _plant_block_comments(_plant_code_snippets(_docs(spark, sf_dir)))
+    return strip_comments(docs)
+
+
+def _sql_strip_comments() -> str:
+    from language_identification_spark.operators.codestats import COMMENT_RE
+
+    return (
+        "\nWITH "
+        + _sql_code_planted()
+        + """,
+planted2 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           '/* banner ' || doc_id::VARCHAR || chr(10) || '   generated */'
+             || chr(10) || coalesce(text, '')
+         ELSE text END AS text
+  FROM planted
+),
+src AS MATERIALIZED (
+  SELECT doc_id, coalesce(text, '') AS raw,
+         regexp_replace(coalesce(text, ''), '/\\*.*?\\*/', '', 'gs') AS t
+  FROM planted2
+),
+pos AS (
+  SELECT s.doc_id, z.i AS pos, string_split(s.t, chr(10))[z.i] AS line
+  FROM src s, unnest(generate_series(1, len(string_split(s.t, chr(10))))) AS z(i)
+),
+flag AS (
+  SELECT doc_id, pos, line,
+         NOT regexp_matches(line, '"""
+        + COMMENT_RE
+        + """') AS keep
+  FROM pos
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+           AS n_comment_lines_removed,
+         coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                             ORDER BY pos), '') AS stripped
+  FROM flag GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(string_split(s.raw, chr(10))) AS BIGINT) AS n_lines_in,
+       CAST(length(s.raw) - length(s.t) AS BIGINT) AS n_block_chars_removed,
+       a.n_comment_lines_removed,
+       CAST(length(a.stripped) AS BIGINT) AS stripped_chars,
+       sha256(a.stripped) AS stripped_sha256
+FROM src s JOIN agg a USING (doc_id)
+"""
+    )
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher Table-A1 within-document repetition signals (dup-line /
     dup-paragraph fractions by count and by characters, top 2/3/4-gram
@@ -4338,6 +4416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_quota_cap": _q_repo_quota_cap,
         "collapse_runs": _q_collapse_runs,
         "gopher_repetition": _q_gopher_repetition,
+        "strip_comments": _q_strip_comments,
     }
 
 
@@ -4420,6 +4499,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_quota_cap": _SQL_REPO_QUOTA_CAP,
         "collapse_runs": _SQL_COLLAPSE_RUNS,
         "gopher_repetition": _sql_gopher_repetition(),
+        "strip_comments": _sql_strip_comments(),
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

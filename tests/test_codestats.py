@@ -145,3 +145,86 @@ def test_mine_symbols_single_scan(docs):
     # numbered detail headers to count actual scan NODES
     assert len(re.findall(r"\(\d+\) Scan", plan)) == 1
     assert "Union" not in plan
+
+
+# --- strip_comments ---------------------------------------------------------
+
+def scalar_strip(text: str | None):
+    import hashlib
+
+    t = text or ""
+    no_block = re.sub(r"/\*.*?\*/", "", t, flags=re.S)
+    all_lines = no_block.split("\n")
+    kept = [x for x in all_lines if not re.match(r"^[ \t]*(#|//)", x)]
+    stripped = "\n".join(kept)
+    return {
+        "n_lines_in": len(t.split("\n")),
+        "n_block_chars_removed": len(t) - len(no_block),
+        "n_comment_lines_removed": len(all_lines) - len(kept),
+        "stripped_chars": len(stripped),
+        "stripped_sha256": hashlib.sha256(stripped.encode()).hexdigest(),
+    }
+
+
+STRIP_CASES = [
+    "code()\n# full line\n  // indented\nmore()",
+    "a /* inline */ b\n/* multi\n   line */\ntail",
+    "/* unterminated\nstays put\n# but this goes",
+    's = "# not a comment but stripped anyway (documented)"',
+    "x = 1  # trailing comments stay",
+    "",
+    None,
+]
+
+
+def test_strip_comments_matches_scalar(spark):
+    from language_identification_spark.operators.codestats import strip_comments
+
+    rows = [(i, t) for i, t in enumerate(STRIP_CASES)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in strip_comments(df).collect()}
+    for i, t in enumerate(STRIP_CASES):
+        want = scalar_strip(t)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    # the unterminated block is untouched (lazy match needs a closer)
+    assert got[2]["n_block_chars_removed"] == 0
+    # trailing comments survive: only FULL-line comments drop
+    assert got[4]["n_comment_lines_removed"] == 0
+
+
+def test_strip_comments_rewrite_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from language_identification_spark.operators.codestats import (
+        strip_comments,
+        strip_comments_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "keep\n# drop\n/* gone */keep2")], "doc_id long, text string"
+    )
+    rewritten = df.select(
+        strip_comments_rewrite(F.coalesce(F.col("text"), F.lit(""))).alias("t")
+    ).collect()[0]["t"]
+    assert rewritten == "keep\nkeep2"
+    # the reporter's sha256 is the sha256 of exactly this rewrite
+    import hashlib
+
+    row = strip_comments(df).collect()[0]
+    assert row["stripped_sha256"] == hashlib.sha256(rewritten.encode()).hexdigest()
+
+
+def test_strip_comments_plan_row_local(spark):
+    import contextlib
+    import io
+
+    from language_identification_spark.operators.codestats import strip_comments
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        strip_comments(df).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
