@@ -565,6 +565,13 @@ def main() -> None:
     )
     # intra-doc run collapse: row-local HOFs, zero Exchange
     timed("collapse_runs", lambda: _noop(em._q_collapse_runs(spark, SF_DIR)))
+    # Gopher repetition signals: row-local sort-and-fold HOFs, zero Exchange
+    timed(
+        "gopher_repetition",
+        lambda: _noop(em._q_gopher_repetition(spark, SF_DIR)),
+    )
+    # comment stripping: row-local regex rewrite census, zero Exchange
+    timed("strip_comments", lambda: _noop(em._q_strip_comments(spark, SF_DIR)))
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)

@@ -29,3 +29,15 @@ def test_weights_asset_matches_model(which):
     for li, name in zip(lang_idx, langs):
         got[int(li)] = name
     assert tuple(got[i] for i in range(len(model.langs))) == model.langs
+
+
+def test_every_query_has_an_oracle():
+    """The driver-contract invariant the entry docstring advertises: every
+    queries() entry ships a non-empty DuckDB oracle (rows-only fallback is
+    reserved for genuinely non-SQL-expressible ops — currently none)."""
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(qs) == set(oracles)
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip(), name
