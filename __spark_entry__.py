@@ -4340,6 +4340,103 @@ LEFT JOIN para_stats ps USING (doc_id)
 """
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Table-A1 quality rules (word-count bounds, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required-stopword hits) + keep verdict — row-local F.*
+    expressions, zero Exchange, zero UDF, integer milli/ppm arithmetic."""
+    from language_identification_spark.operators.gopherquality import (
+        gopher_quality,
+    )
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+_SQL_GOPHER_QUALITY = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+),
+words AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws
+  FROM base
+),
+word_stats AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(length(u.w)) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN regexp_matches(u.w, '[A-Za-z]') THEN 1 ELSE 0 END)
+              AS BIGINT) AS alpha_words,
+         CAST(count(DISTINCT CASE WHEN lower(u.w) IN
+                ('the','be','to','of','and','that','have','with')
+              THEN lower(u.w) END) AS BIGINT) AS stop_hits
+  FROM words w, unnest(w.ws) AS u(w)
+  GROUP BY w.doc_id
+),
+line_stats AS (
+  SELECT b.doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN substring(ltrim(l.part), 1, 1) IN ('•','-','*')
+              THEN 1 ELSE 0 END) AS BIGINT) AS bullets,
+         CAST(sum(CASE WHEN rtrim(l.part) LIKE '%...'
+                         OR rtrim(l.part) LIKE '%…'
+              THEN 1 ELSE 0 END) AS BIGINT) AS ellipses
+  FROM base b, unnest(string_split(b.text, chr(10))) AS l(part)
+  WHERE trim(l.part) <> ''
+  GROUP BY b.doc_id
+),
+sym AS (
+  SELECT doc_id,
+         CAST((length(text) - length(replace(text, '#', '')))
+            + (length(text) - length(replace(text, '…', '')))
+            + (length(text) - length(replace(text, '...', ''))) // 3
+              AS BIGINT) AS symbols
+  FROM base
+),
+staged AS (
+  SELECT b.doc_id,
+         coalesce(ws.n_words, 0) AS n_words,
+         coalesce(ls.n_lines, 0) AS n_lines,
+         coalesce(ws.total_chars, 0) AS twc,
+         coalesce(sy.symbols, 0) AS symbols,
+         coalesce(ls.bullets, 0) AS bullets,
+         coalesce(ls.ellipses, 0) AS ellipses,
+         coalesce(ws.alpha_words, 0) AS alpha_words,
+         coalesce(ws.stop_hits, 0) AS stopword_hits
+  FROM base b
+  LEFT JOIN word_stats ws USING (doc_id)
+  LEFT JOIN line_stats ls USING (doc_id)
+  LEFT JOIN sym sy USING (doc_id)
+)
+SELECT doc_id, n_words, n_lines,
+       CASE WHEN n_words > 0 THEN (1000 * twc) // n_words
+            ELSE 0 END AS mean_word_len_milli,
+       CASE WHEN n_words > 0 THEN (1000000 * symbols) // n_words
+            ELSE 0 END AS symbol_word_ppm,
+       CASE WHEN n_lines > 0 THEN (1000000 * bullets) // n_lines
+            ELSE 0 END AS bullet_line_ppm,
+       CASE WHEN n_lines > 0 THEN (1000000 * ellipses) // n_lines
+            ELSE 0 END AS ellipsis_line_ppm,
+       CASE WHEN n_words > 0 THEN (1000000 * alpha_words) // n_words
+            ELSE 0 END AS alpha_word_ppm,
+       stopword_hits,
+       (n_words BETWEEN 50 AND 100000
+        AND (CASE WHEN n_words > 0 THEN (1000 * twc) // n_words ELSE 0 END)
+            BETWEEN 3000 AND 10000
+        AND (CASE WHEN n_words > 0 THEN (1000000 * symbols) // n_words
+             ELSE 0 END) <= 100000
+        AND (CASE WHEN n_lines > 0 THEN (1000000 * bullets) // n_lines
+             ELSE 0 END) <= 900000
+        AND (CASE WHEN n_lines > 0 THEN (1000000 * ellipses) // n_lines
+             ELSE 0 END) <= 300000
+        AND (CASE WHEN n_words > 0 THEN (1000000 * alpha_words) // n_words
+             ELSE 0 END) >= 800000
+        AND stopword_hits >= 2) AS quality_keep
+FROM staged
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lang_canon": _q_lang_canon,
@@ -4417,6 +4514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_quota_cap": _q_repo_quota_cap,
         "collapse_runs": _q_collapse_runs,
         "gopher_repetition": _q_gopher_repetition,
+        "gopher_quality": _q_gopher_quality,
         "strip_comments": _q_strip_comments,
     }
 
@@ -4500,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_quota_cap": _SQL_REPO_QUOTA_CAP,
         "collapse_runs": _SQL_COLLAPSE_RUNS,
         "gopher_repetition": _sql_gopher_repetition(),
+        "gopher_quality": _SQL_GOPHER_QUALITY,
         "strip_comments": _sql_strip_comments(),
     }
     # a data-dependent oracle generator may return None (source table

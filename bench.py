@@ -570,6 +570,11 @@ def main() -> None:
         "gopher_repetition",
         lambda: _noop(em._q_gopher_repetition(spark, SF_DIR)),
     )
+    # Gopher quality rules: row-local shape statistics, zero Exchange
+    timed(
+        "gopher_quality",
+        lambda: _noop(em._q_gopher_quality(spark, SF_DIR)),
+    )
     # comment stripping: row-local regex rewrite census, zero Exchange
     timed("strip_comments", lambda: _noop(em._q_strip_comments(spark, SF_DIR)))
 

@@ -1,0 +1,177 @@
+"""Gopher-style within-document QUALITY rules — pure Catalyst, row-local.
+
+Rae et al. 2021 ("Scaling Language Models: ... Gopher", Table A1) pair the
+repetition signals (``operators/repetition.py``) with a second rule set on
+document *shape*: word-count bounds, mean word length, symbol-to-word
+ratio, bullet-started and ellipsis-ended line fractions, the fraction of
+words containing an alphabetic character, and a required-stopword count.
+Dolma, RedPajama-v2 and FineWeb reuse these rules nearly verbatim; for a
+code corpus they are the "is this prose-shaped at all" gate that routes
+README/doc files and natural-language comments differently from source.
+
+Every signal is a within-document statistic → the whole operator is
+row-local ``F.*`` expressions inside whole-stage codegen: zero Exchange,
+zero Python, one scan at any corpus size.  The 100 TB plan IS the laptop
+plan (see docs/SCALE.md).
+
+Exact definitions (the DuckDB oracle re-derives them independently via
+UNNEST + GROUP BY, not by mirroring these expressions):
+
+- *words*: ``split(trim(text), /\\s+/)`` — the engine-wide token spec
+  (``operators/vocab.py``); empty/whitespace-only text → 0 words.
+- *lines*: ``split('\\n')`` entries whose ``trim`` is non-empty — the
+  same line spec as ``operators/repetition.py``.
+- ``mean_word_len_milli`` = ``1000 * total_word_chars DIV n_words``
+  (integer millis; ``total_word_chars = length(concat(words))``).
+- *symbols* = occurrences of ``#`` plus ellipses (each ``…`` char, plus
+  each non-overlapping ``...`` counted left-to-right — both engines'
+  ``replace`` scans left-to-right non-overlapping, so
+  ``(len - len(replace(t,'...',''))) / 3`` is engine-exact).
+- *bullet lines*: ``ltrim(line)`` starts with ``•``, ``-`` or ``*``;
+  *ellipsis lines*: ``rtrim(line)`` ends with ``...`` or ``…``.
+- *alpha words*: words matching ``[A-Za-z]``.
+- *stopword hits*: how many DISTINCT members of Gopher's required list
+  (the, be, to, of, and, that, have, with) appear as a lowercased word.
+- Fractions are integer ppm (``1_000_000 * num DIV den``, 0 on empty
+  denominator) — float division rounds differently across engines.
+
+``quality_keep`` applies Gopher's published thresholds: 50 ≤ words ≤
+100_000; 3 ≤ mean word length ≤ 10; symbol/word ≤ 0.1; bullet lines
+≤ 90%; ellipsis lines ≤ 30%; alpha words ≥ 80%; ≥ 2 required stopwords.
+
+No reference analog: the reference engine (see SURVEY.md) has no
+corpus-level text-quality ops; this module extends the LLM-training
+surface alongside ``repetition``/``linededup``/``codestats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+# Gopher Table A1 thresholds
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN_MILLI = 3_000
+MAX_MEAN_WORD_LEN_MILLI = 10_000
+MAX_SYMBOL_WORD_PPM = 100_000
+MAX_BULLET_LINE_PPM = 900_000
+MAX_ELLIPSIS_LINE_PPM = 300_000
+MIN_ALPHA_WORD_PPM = 800_000
+MIN_STOPWORD_HITS = 2
+
+# Gopher's required-stopword list (Table A1), lowercase.
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLET_PREFIXES = ("•", "-", "*")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count via length-of-replace — identical
+    left-to-right semantics in Spark and DuckDB."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality-rule signals + keep verdict.
+
+    Output: ``(id_col, n_words, n_lines, mean_word_len_milli,
+    symbol_word_ppm, bullet_line_ppm, ellipsis_line_ppm, alpha_word_ppm,
+    stopword_hits, quality_keep)`` — integers plus the boolean verdict.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.when(
+        F.trim(text) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != F.lit(""))
+
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    total_word_chars = F.length(F.array_join(words, "")).cast("long")
+
+    symbols = (
+        _count_occurrences(text, "#")
+        + _count_occurrences(text, "…")
+        + _count_occurrences(text, "...")
+    )
+
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin(*_BULLET_PREFIXES),
+        )
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    ).cast("long")
+
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+
+    stopword_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in REQUIRED_STOPWORDS]),
+        )
+    ).cast("long")
+
+    # integer DIV via expr on named intermediates (keeps the ppm exact)
+    staged = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        total_word_chars.alias("_twc"),
+        symbols.alias("_sym"),
+        bullet_lines.alias("_bul"),
+        ellipsis_lines.alias("_ell"),
+        alpha_words.alias("_alw"),
+        stopword_hits.alias("stopword_hits"),
+    )
+
+    def div(expr: str) -> Column:
+        return F.expr(expr).cast("long")
+
+    out = staged.select(
+        id_col,
+        "n_words",
+        "n_lines",
+        F.when(F.col("n_words") > 0, div("(1000 * _twc) DIV n_words"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("mean_word_len_milli"),
+        F.when(F.col("n_words") > 0, div(f"({PPM}L * _sym) DIV n_words"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("symbol_word_ppm"),
+        F.when(F.col("n_lines") > 0, div(f"({PPM}L * _bul) DIV n_lines"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bullet_line_ppm"),
+        F.when(F.col("n_lines") > 0, div(f"({PPM}L * _ell) DIV n_lines"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("ellipsis_line_ppm"),
+        F.when(F.col("n_words") > 0, div(f"({PPM}L * _alw) DIV n_words"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("alpha_word_ppm"),
+        "stopword_hits",
+    )
+    keep = (
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len_milli").between(
+            MIN_MEAN_WORD_LEN_MILLI, MAX_MEAN_WORD_LEN_MILLI
+        )
+        & (F.col("symbol_word_ppm") <= MAX_SYMBOL_WORD_PPM)
+        & (F.col("bullet_line_ppm") <= MAX_BULLET_LINE_PPM)
+        & (F.col("ellipsis_line_ppm") <= MAX_ELLIPSIS_LINE_PPM)
+        & (F.col("alpha_word_ppm") >= MIN_ALPHA_WORD_PPM)
+        & (F.col("stopword_hits") >= MIN_STOPWORD_HITS)
+    )
+    return out.withColumn("quality_keep", keep)

@@ -1,0 +1,138 @@
+"""Gopher quality rules vs an independent scalar reimplementation."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from language_identification_spark.operators.gopherquality import (
+    MIN_ALPHA_WORD_PPM,
+    MIN_STOPWORD_HITS,
+    MIN_WORDS,
+    PPM,
+    REQUIRED_STOPWORDS,
+    gopher_quality,
+)
+
+# Java \s — ASCII only (see tests/test_repetition.py)
+_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def scalar_signals(text: str | None):
+    t = text or ""
+    stripped = t.strip(" ")
+    words = [] if stripped == "" else re.split(_WS, stripped)
+    lines = [ln for ln in t.split("\n") if ln.strip(" ") != ""]
+    n_words, n_lines = len(words), len(lines)
+
+    def ppm(num, den):
+        return (PPM * num) // den if den > 0 else 0
+
+    symbols = t.count("#") + t.count("…") + t.count("...")
+    bullets = sum(1 for ln in lines if ln.lstrip(" ")[:1] in ("•", "-", "*"))
+    ellipsis = sum(
+        1
+        for ln in lines
+        if ln.rstrip(" ").endswith("...") or ln.rstrip(" ").endswith("…")
+    )
+    alpha = sum(1 for w in words if re.search("[A-Za-z]", w))
+    hits = len({w.lower() for w in words} & set(REQUIRED_STOPWORDS))
+    return {
+        "n_words": n_words,
+        "n_lines": n_lines,
+        "mean_word_len_milli": (
+            (1000 * sum(len(w) for w in words)) // n_words if n_words else 0
+        ),
+        "symbol_word_ppm": ppm(symbols, n_words),
+        "bullet_line_ppm": ppm(bullets, n_lines),
+        "ellipsis_line_ppm": ppm(ellipsis, n_lines),
+        "alpha_word_ppm": ppm(alpha, n_words),
+        "stopword_hits": hits,
+    }
+
+
+CASES = [
+    "the cat sat to be of note and that we have fun with it",
+    "- bullet one\n- bullet two\nplain line",
+    "trailing dots...\nand unicode…\nclean",
+    "# heading\ncode # comment # tag",
+    "count ... these ... ellipses ... and…more",
+    "....",                       # one non-overlapping "..." plus residue
+    "12345 67890 (.) [!]",        # zero alpha words
+    "\t\n   \n",                  # whitespace-only
+    "",
+    None,
+    "Wört cafè naïve",            # non-ASCII letters are not [A-Za-z]
+    "x " * 200,                   # many short words
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, t) for i, t in enumerate(CASES)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_signals_match_scalar(docs):
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+    assert len(got) == len(CASES)
+    for i, text in enumerate(CASES):
+        want = scalar_signals(text)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+
+
+def test_verdict_thresholds(spark):
+    # A prose-shaped doc passing every rule: >=50 words, mean length in
+    # [3, 10], no symbols/bullets/ellipses, all-alpha words, >=2 required
+    # stopwords present.
+    good = " ".join(
+        ["the", "be"] + [f"word{i} line also" for i in range(20)]
+    )
+    assert len(re.split(_WS, good)) >= MIN_WORDS
+    # Same doc with every line bulleted -> bullet_line_ppm = 1e6: drop.
+    bullety = "\n".join("- " + good[i : i + 30] for i in range(0, 300, 30))
+    rows = [(0, good), (1, bullety), (2, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[0]["quality_keep"]
+    assert got[1]["bullet_line_ppm"] == PPM
+    assert not got[1]["quality_keep"]
+    assert got[2]["n_words"] < MIN_WORDS and not got[2]["quality_keep"]
+
+
+def test_stopword_hits_are_distinct(spark):
+    # "the the the" is ONE distinct hit, below MIN_STOPWORD_HITS
+    df = spark.createDataFrame(
+        [(0, "the the the"), (1, "The AND")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert got[0]["stopword_hits"] == 1 < MIN_STOPWORD_HITS
+    assert got[1]["stopword_hits"] == 2  # case-insensitive, distinct
+
+
+def test_alpha_word_rule(spark):
+    df = spark.createDataFrame(
+        [(0, "abc 123 x9 ... ?!")], "doc_id long, text string"
+    )
+    row = gopher_quality(df).collect()[0]
+    # alpha words: "abc", "x9" of 5 -> 400000 ppm, below the 80% floor
+    assert row["alpha_word_ppm"] == (PPM * 2) // 5 < MIN_ALPHA_WORD_PPM
+
+
+def test_plan_row_local_no_python(docs):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        gopher_quality(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert gopher_quality(df).count() == 0
