@@ -4221,6 +4221,148 @@ FROM src s JOIN agg a USING (doc_id)
     )
 
 
+def _plant_comment_pii(docs: DataFrame) -> DataFrame:
+    """Plant PII both INSIDE comment scope (must be scrubbed) and in plain
+    code lines (must pass through untouched) so the comment-scoped scrub's
+    scoping decision is actually exercised: every 3rd doc gets a plain-code
+    email line, every 5th a ``#`` comment with email+IP, every 7th a
+    multi-line ``/* */`` block with a secret assignment and an email."""
+    sid = F.col("doc_id").cast("string")
+    t0 = F.coalesce(F.col("text"), F.lit(""))
+    t1 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(
+            t0, F.lit("\nplain email bob"), sid, F.lit("@example.com in code\n")
+        ),
+    ).otherwise(t0)
+    t2 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.concat(
+            t1,
+            F.lit("\n# contact admin"),
+            sid,
+            F.lit("@example.com at 10.0.0.1\n"),
+        ),
+    ).otherwise(t1)
+    t3 = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+        F.concat(
+            F.lit("/* token = s3cretv"),
+            sid,
+            F.lit("\n   reach admin@corp.example */\n"),
+            t2,
+        ),
+    ).otherwise(t2)
+    return docs.withColumn("text", t3)
+
+
+def _q_scrub_comments_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-scoped PII scrub: the frozen scrub chain applied ONLY inside
+    comment regions (full-line ``#``/``//`` comments + ``/* */`` blocks via
+    a row-local clamped-depth fold over the line array), leaving executable
+    text untouched.  Zero Exchange, zero UDF; verified by the rewritten
+    text's sha256."""
+    from language_identification_spark.operators.commentscope import (
+        scrub_comments_scoped,
+    )
+
+    return scrub_comments_scoped(_plant_comment_pii(_docs(spark, sf_dir)))
+
+
+def _sql_scrub_comments_scoped() -> str:
+    """DuckDB re-derivation: unnest lines, window cumulative ``/*``/``*/``
+    deltas, clamp the running block depth at zero with the reflected-walk
+    identity ``d(i) = cum(i) - min(0, min_{j<=i} cum(j))`` (an independent
+    formulation of the operator's fold), then the ordered count+replace
+    chain on scoped lines only."""
+    from language_identification_spark.operators.codestats import COMMENT_RE
+    from language_identification_spark.scrub.patterns import PATTERNS
+
+    sql = """
+WITH planted AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           '/* token = s3cretv' || doc_id::VARCHAR || chr(10)
+             || '   reach admin@corp.example */' || chr(10)
+         ELSE '' END
+         || coalesce(text, '')
+         || CASE WHEN doc_id % 3 = 0 THEN
+              chr(10) || 'plain email bob' || doc_id::VARCHAR
+                || '@example.com in code' || chr(10)
+            ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN
+              chr(10) || '# contact admin' || doc_id::VARCHAR
+                || '@example.com at 10.0.0.1' || chr(10)
+            ELSE '' END AS text
+  FROM documents
+),
+pos AS (
+  SELECT s.doc_id, z.i AS pos, string_split(s.text, chr(10))[z.i] AS line
+  FROM planted s,
+       unnest(generate_series(1, len(string_split(s.text, chr(10))))) AS z(i)
+),
+oc AS (
+  SELECT doc_id, pos, line,
+         len(string_split(line, '/*')) - 1 AS opens,
+         len(string_split(line, '*/')) - 1 AS closes
+  FROM pos
+),
+cum AS (
+  SELECT *,
+         sum(opens - closes) OVER
+           (PARTITION BY doc_id ORDER BY pos) AS cum_incl
+  FROM oc
+),
+depth AS (
+  SELECT doc_id, pos, line, opens,
+         coalesce(sum(opens - closes) OVER
+             (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         - least(0, coalesce(min(cum_incl) OVER
+             (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+           AS depth_before
+  FROM cum
+),
+l0 AS (
+  SELECT doc_id, pos, line AS l,
+         (depth_before > 0 OR opens > 0
+          OR regexp_matches(line, '"""
+    sql += COMMENT_RE.replace("'", "''")
+    sql += "')) AS scoped\n  FROM depth\n)"
+    carried: list[str] = []
+    prev = "l0"
+    for i, (_name, pat, repl) in enumerate(PATTERNS, 1):
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        keep = (", ".join(carried) + ", ") if carried else ""
+        sql += (
+            f", l{i} AS (SELECT doc_id, pos, scoped, {keep}"
+            f"CASE WHEN scoped THEN len(regexp_extract_all(l, '{p}')) "
+            f"ELSE 0 END AS c{i}, "
+            f"CASE WHEN scoped THEN regexp_replace(l, '{p}', '{r}', 'g') "
+            f"ELSE l END AS l FROM {prev})"
+        )
+        carried.append(f"c{i}")
+        prev = f"l{i}"
+    total = " + ".join(carried)
+    sql += f"""
+, agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(*) FILTER (WHERE scoped) AS BIGINT) AS n_scoped_lines,
+         CAST(sum({total}) AS BIGINT) AS n_redactions,
+         coalesce(string_agg(l, chr(10) ORDER BY pos), '') AS scrubbed
+  FROM {prev} GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_scoped_lines, n_redactions,
+       CAST(length(scrubbed) AS BIGINT) AS scrubbed_chars,
+       sha256(scrubbed) AS scrubbed_sha256
+FROM agg
+"""
+    return sql
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher Table-A1 within-document repetition signals (dup-line /
     dup-paragraph fractions by count and by characters, top 2/3/4-gram
@@ -4516,6 +4658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "gopher_quality": _q_gopher_quality,
         "strip_comments": _q_strip_comments,
+        "scrub_comments_scoped": _q_scrub_comments_scoped,
     }
 
 
@@ -4600,6 +4743,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _sql_gopher_repetition(),
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "strip_comments": _sql_strip_comments(),
+        "scrub_comments_scoped": _sql_scrub_comments_scoped(),
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

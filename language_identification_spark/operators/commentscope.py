@@ -1,0 +1,157 @@
+"""Comment-scoped PII scrub — redact secrets inside comments ONLY.
+
+The full-text scrubber (``scrub/``, reference analog
+``disconnected_language_detector.py:559-894``'s per-segment transform)
+rewrites anywhere a pattern matches.  For source-code corpora that is often
+too blunt: an email in a test fixture or a doc-sample IP literal is part of
+the program text, and rewriting it changes code semantics (and breaks the
+sha256 pass-through invariant for rows the verdict keeps).  Real-world code
+curation pipelines therefore scope PII redaction to *comment* regions,
+where contributor emails, internal hostnames, and pasted credentials
+actually live, and leave executable text alone.
+
+Scope model (same documented regex-level approximation as
+``codestats.strip_comments``: no parser fits a 100 TB scan):
+
+- a line whose first non-blank chars are ``#`` or ``//`` (``COMMENT_RE``),
+- a line that OPENS a ``/*`` block (conservatively the whole line),
+- a line inside an open block: block depth is a per-document running fold
+  ``depth = max(0, depth + opens - closes)`` over literal ``/*`` / ``*/``
+  occurrence counts, clamped at zero so a stray ``*/`` in code (e.g. a
+  string literal ``"*/"``) cannot push the tracker negative and swallow a
+  later real block.  A ``/*`` inside code (glob patterns like ``**/*.py``)
+  conservatively OPENS scope; the failure mode of every scope false
+  positive is extra redaction of PII-shaped strings only — non-PII text is
+  never altered, so over-scoping errs on the privacy-safe side.
+
+Everything is a row-local Catalyst expression: the depth tracker is a
+single ``F.aggregate`` fold over the line array (no window, no Exchange,
+no UDF), the scrub itself is the frozen ordered pattern chain from
+``scrub/patterns.py`` applied per scoped line via ``zip_with``.  At 100 TB
+this operator is embarrassingly parallel — one projection per file split.
+
+The per-line application means the multi-line ``private_key`` PEM rule
+cannot span lines here (each line is scrubbed independently); PEM blocks
+pasted into comments are still caught by the full-text scrubber or the
+entropy-based ``audit.secret_candidates`` pass.  The DuckDB oracle
+(``scrub_comments_scoped``) re-derives the clamped depth with the
+reflected-walk identity ``d(i) = cum(i) - min(0, min_{j<=i} cum(j))`` over
+window cumulative sums — an independent formulation of the same fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..scrub.patterns import PATTERNS
+from .audit import _java_repl
+from .codestats import COMMENT_RE
+
+
+def _opens(line: Column) -> Column:
+    """Count of literal ``/*`` occurrences (split-based: identical
+    non-overlapping left-to-right semantics in Spark and DuckDB)."""
+    return F.size(F.split(line, r"/\*")) - 1
+
+
+def _closes(line: Column) -> Column:
+    return F.size(F.split(line, r"\*/")) - 1
+
+
+def scrub_line_expr(line: Column) -> Column:
+    """The frozen ordered count+replace chain's REPLACE side, per line."""
+    cur = line
+    for _name, pat, repl in PATTERNS:
+        cur = F.regexp_replace(cur, pat, _java_repl(repl))
+    return cur
+
+
+def count_line_expr(line: Column) -> Column:
+    """Total substitutions the ordered chain makes on ``line`` (counts
+    interleaved with replaces, so a PEM body consumed by an earlier rule
+    is not re-counted by a later one — the ``scrub_series`` contract)."""
+    cur = line
+    total: Column = F.lit(0).cast("long")
+    for _name, pat, repl in PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, _java_repl(repl))
+    return total
+
+
+def comment_scope_flags(lines: Column) -> Column:
+    """``array<boolean>`` — per line, is it in comment scope?
+
+    Row-local clamped-depth fold: scope is decided against the depth
+    BEFORE the line, then the line's own ``/*``/``*/`` deltas update the
+    tracker (clamped at 0).
+    """
+    init = F.struct(
+        F.lit(0).alias("depth"),
+        F.array().cast("array<boolean>").alias("flags"),
+    )
+
+    def step(acc: Column, line: Column) -> Column:
+        scoped = (
+            (acc["depth"] > 0)
+            | line.rlike(COMMENT_RE)
+            | (_opens(line) > 0)
+        )
+        new_depth = F.greatest(
+            F.lit(0), acc["depth"] + _opens(line) - _closes(line)
+        )
+        return F.struct(
+            new_depth.alias("depth"),
+            F.concat(acc["flags"], F.array(scoped)).alias("flags"),
+        )
+
+    return F.aggregate(lines, init, step, lambda acc: acc["flags"])
+
+
+def scrub_comments_scoped(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Comment-scoped scrub census.
+
+    Columns: ``n_lines``, ``n_scoped_lines``, ``n_redactions`` (ordered
+    chain substitutions within scoped lines only), ``scrubbed_chars`` and
+    ``scrubbed_sha256`` of the rewritten text — the exact-rewrite check
+    without hauling text through the compare (the ``strip_comments`` /
+    ``collapse_runs`` contract).  One projection, zero Exchange, zero UDF.
+
+    Callers that want the rewritten corpus itself use the same building
+    blocks directly::
+
+        flags = comment_scope_flags(F.split(text, "\\n"))
+        out = F.array_join(F.zip_with(lines, flags, ...), "\\n")
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    flags = comment_scope_flags(lines)
+    out_lines = F.zip_with(
+        lines,
+        flags,
+        lambda l, f: F.when(f, scrub_line_expr(l)).otherwise(l),
+    )
+    scrubbed = F.array_join(out_lines, "\n")
+    n_red = F.aggregate(
+        F.zip_with(
+            lines,
+            flags,
+            lambda l, f: F.when(f, count_line_expr(l)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.filter(flags, lambda x: x)).cast("long").alias(
+            "n_scoped_lines"
+        ),
+        n_red.alias("n_redactions"),
+        F.length(scrubbed).cast("long").alias("scrubbed_chars"),
+        F.sha2(F.encode(scrubbed, "UTF-8"), 256).alias("scrubbed_sha256"),
+    )
