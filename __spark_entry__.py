@@ -1504,6 +1504,57 @@ FROM reach GROUP BY node
 """
 
 
+def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup components (minhash
+    pairs → min-label closure) are co-assigned by hashing the component id
+    through the deterministic sha256 bucket; singletons hash their own id.
+    The whole assignment is reproducible off-cluster — the oracle
+    recomputes components AND buckets bit-for-bit."""
+    from language_identification_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from language_identification_spark.operators.splits import (
+        leakage_safe_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    comps = connected_components(pairs)
+    return leakage_safe_split(
+        docs, comps, {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("split_key").cast("long").alias("split_key"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("split"),
+    )
+
+
+def _sql_leakage_split() -> str:
+    comp_sql = _sql_dedup_components()
+    return f"""
+WITH comp AS ({comp_sql}),
+keyd AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS split_key
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, split_key,
+         CAST(('0x' || substr(sha256('split|' || CAST(split_key AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000 AS bucket
+  FROM keyd
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, split_key,
+       CAST(bucket AS BIGINT) AS bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def _q_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-3-gram Jaccard verification on a deterministic pair list
     (every doc_id divisible by 5 vs its successor) — pure Catalyst, green
@@ -4659,6 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "strip_comments": _q_strip_comments,
         "scrub_comments_scoped": _q_scrub_comments_scoped,
+        "leakage_safe_split": _q_leakage_split,
     }
 
 
@@ -4744,6 +4796,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _SQL_GOPHER_QUALITY,
         "strip_comments": _sql_strip_comments(),
         "scrub_comments_scoped": _sql_scrub_comments_scoped(),
+        "leakage_safe_split": _sql_leakage_split(),
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken
