@@ -577,6 +577,20 @@ def main() -> None:
     )
     # comment stripping: row-local regex rewrite census, zero Exchange
     timed("strip_comments", lambda: _noop(em._q_strip_comments(spark, SF_DIR)))
+    # comment-scoped scrub: per-line depth fold + 6 count + 6 replace regex
+    # passes on scoped lines — JVM-regex class like scrub_audit, min-of-3
+    timed(
+        "scrub_comments_scoped",
+        lambda: _noop(em._q_scrub_comments_scoped(spark, SF_DIR)),
+        runs=3,
+    )
+    # leakage-safe split: jaccard_pairs + min-label closure + broadcast map
+    # join back — iterative class (min-of-2, like dup_weighted_docs)
+    timed(
+        "leakage_safe_split",
+        lambda: _noop(em._q_leakage_split(spark, SF_DIR)),
+        runs=2,
+    )
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)

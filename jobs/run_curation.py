@@ -35,6 +35,10 @@ re-submitting — completed stage outputs are detected and reused):
 7. **packing** (``--pack-budget``) — every (doc, copy) assigned its
    training-sequence slot; ``--materialize`` also writes the packed
    sequence hashes (budget-bounded regroup).
+7b. **split** (``--split``) — leakage-safe train/val/test assignment
+   over the post-filter corpus: near-dup components (minhash pairs at
+   ``--split-jaccard-milli``) co-assigned via the component-id sha256
+   bucket, so no duplicate cluster straddles train and test.
 8. **shuffle** (``--shuffle-seed``) — deterministic training-order keys
    (sha256(seed|id)) with shard assignment, written partitioned by
    shard so trainers read shards independently.
@@ -116,6 +120,13 @@ def main() -> None:
                     help="parquet (module, repo) ownership table mapping "
                     "imported module names to owning repos")
     ap.add_argument("--pagerank-iters", type=int, default=10)
+    ap.add_argument("--split", default=None, metavar="FRACS_JSON",
+                    help='leakage-safe split assignment, e.g. '
+                         '\'{"train":0.9,"val":0.05,"test":0.05}\' — '
+                         'near-dup components co-assigned')
+    ap.add_argument("--split-jaccard-milli", type=int, default=500,
+                    help="minhash threshold (milli-Jaccard) for the split's "
+                         "near-dup components")
     ap.add_argument("--app-name", default="curation")
     args = ap.parse_args()
     if args.rank_weighting and not args.module_owners:
@@ -315,6 +326,38 @@ def main() -> None:
             return df.join(rw, args.id_col)
 
         stage("rank_weighting", _rank_weighting)
+
+    if args.split:
+        from language_identification_spark.operators.dedup import (
+            connected_components,
+            jaccard_pairs,
+        )
+        from language_identification_spark.operators.splits import (
+            leakage_safe_split,
+        )
+
+        fracs = {k: float(v) for k, v in json.loads(args.split).items()}
+
+        def _split(df):
+            # split LAST (over what actually ships) so train/val/test see
+            # the same post-filter distribution; near-dup components are
+            # co-assigned so no duplicate cluster straddles train and test.
+            # Minhash features stage to parquet (cluster-safe lineage cut,
+            # same contract as the span-dedup posting list).
+            pairs = jaccard_pairs(
+                df, args.text_col, args.id_col,
+                threshold=args.split_jaccard_milli / 1000.0,
+                staging_path=os.path.join(args.out, "_split_features"),
+            )
+            comps = connected_components(pairs)
+            assign = leakage_safe_split(df, comps, fracs, id_col=args.id_col)
+            # corpus keeps its schema + the split column; audit columns
+            # (split_key, bucket) are re-derivable and stay out of handoff
+            return df.join(
+                assign.select(args.id_col, "split"), args.id_col
+            )
+
+        stage("split", _split)
 
     profile_path = os.path.join(args.out, "profile")
     if not _done(profile_path):

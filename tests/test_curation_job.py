@@ -359,3 +359,48 @@ def test_curation_job_fork_quota_collapse_stages(
     for r in final.filter(final.source == "up").collect():
         i = r["doc_id"]
         assert r["text"] == f"file {i}\nuniq {i}"
+
+
+def test_curation_job_split_stage(spark, tmp_path, monkeypatch, capsys):
+    src = str(tmp_path / "docs.parquet")
+    base = " ".join(f"token{i} shared body word{i}" for i in range(30))
+    rows = [
+        (1, base + " ending alpha", "en", "r1"),
+        (2, base + " ending bravo", "en", "r2"),  # near-dup of 1
+    ]
+    # singletons with disjoint vocabularies
+    for i in range(3, 13):
+        rows.append(
+            (i, " ".join(f"solo{i}w{j} unrelated{i}{j}" for j in range(25)),
+             "en", f"r{i}")
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    import run_curation
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "run_curation.py", "--source", src, "--out", out,
+            "--split", '{"train":0.8,"val":0.1,"test":0.1}',
+        ],
+    )
+    run_curation.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    final = spark.read.parquet(report["split"])
+    rows_out = final.collect()
+    assert {"doc_id", "text", "lang", "source", "split"} <= set(final.columns)
+    assert len(rows_out) == 12  # nothing dropped, everything assigned
+    by_id = {r.doc_id: r.split for r in rows_out}
+    assert set(by_id.values()) <= {"train", "val", "test"}
+    # the near-dup pair never straddles splits
+    assert by_id[1] == by_id[2]
+    # deterministic: resume from the completed stage reproduces bit-identically
+    run_curation.main()
+    again = {r.doc_id: r.split for r in spark.read.parquet(report["split"]).collect()}
+    assert again == by_id
