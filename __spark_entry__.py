@@ -1509,7 +1509,11 @@ def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs → min-label closure) are co-assigned by hashing the component id
     through the deterministic sha256 bucket; singletons hash their own id.
     The whole assignment is reproducible off-cluster — the oracle
-    recomputes components AND buckets bit-for-bit."""
+    recomputes components AND buckets bit-for-bit.  Min-label propagation
+    here (small diameters at test scale, fewer rounds than the star
+    variant's fingerprint checks); the production curation stage uses the
+    O(log n) star contraction instead (giant-component-safe) — the oracle's
+    recursive closure is variant-independent, so both check green."""
     from language_identification_spark.operators.dedup import (
         connected_components,
         jaccard_pairs,

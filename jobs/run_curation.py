@@ -329,7 +329,7 @@ def main() -> None:
 
     if args.split:
         from language_identification_spark.operators.dedup import (
-            connected_components,
+            connected_components_star,
             jaccard_pairs,
         )
         from language_identification_spark.operators.splits import (
@@ -349,7 +349,7 @@ def main() -> None:
                 threshold=args.split_jaccard_milli / 1000.0,
                 staging_path=os.path.join(args.out, "_split_features"),
             )
-            comps = connected_components(pairs)
+            comps = connected_components_star(pairs)
             assign = leakage_safe_split(df, comps, fracs, id_col=args.id_col)
             # corpus keeps its schema + the split column; audit columns
             # (split_key, bucket) are re-derivable and stay out of handoff
