@@ -1928,6 +1928,157 @@ def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_TRAIN_ITERS = 2
+
+
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode: per-subspace Lloyd training (pure-
+    Catalyst assignment, M×K×subdim scalars shuffled per iteration) then
+    the argmin code projection — zero UDF end to end.  Codes published as
+    a joined string so the value compare is engine-neutral."""
+    from language_identification_spark.operators.pq import (
+        encode_pq,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, iters=_PQ_TRAIN_ITERS)
+    return encode_pq(emb, books).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias(
+            "codes_str"
+        ),
+    )
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10: the M×K inner-product LUT (driver-
+    side, 128 rounded floats) scores each row with M element_at lookups
+    summed in fixed order — the probe reads ONLY the code table."""
+    from language_identification_spark.operators.pq import (
+        encode_pq,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, iters=_PQ_TRAIN_ITERS)
+    codes = encode_pq(emb, books)
+    return pq_topk(codes, _QUERY_VEC, books, k=10).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.round(F.col("score") * 1_000_000).cast("long").alias("score_micro"),
+    )
+
+
+def _numpy_train_pq(mat: np.ndarray, m: int, k: int, iters: int) -> np.ndarray:
+    """Independent numpy re-derivation of ``train_pq_codebooks``'s spec:
+    same frozen init, squared-L2 accumulated in the SAME left-fold order
+    per dimension (so boundary assignments agree to the bit), first-min
+    argmin, per-cell mean (empty cells keep the prior centroid), 9-decimal
+    rounding per iteration."""
+    from language_identification_spark.operators.pq import _PQ_INIT
+
+    dim = mat.shape[1]
+    subdim = dim // m
+    mat64 = mat.astype(np.float64)
+    books = np.round(_PQ_INIT[:m, :k, :subdim].copy(), 9)
+    for _ in range(iters):
+        new = books.copy()
+        for i in range(m):
+            acc = np.zeros((mat.shape[0], k))
+            for j in range(subdim):
+                d = mat64[:, i * subdim + j, None] - books[i, None, :, j]
+                acc = acc + d * d
+            cells = acc.argmin(axis=1)
+            for c in np.unique(cells):
+                new[i, c] = mat64[cells == c, i * subdim : (i + 1) * subdim].mean(
+                    axis=0
+                )
+        books = np.round(new, 9)
+    return books
+
+
+def _pq_oracle_parts() -> tuple[str, str, "np.ndarray"] | None:
+    """Shared SQL scaffolding for both PQ oracles: (sub_exprs CTE text,
+    codes expression list text, trained books).  None if the oracle-side
+    table is unreadable (entry then omitted; weaker rows-only check)."""
+    import os
+
+    import pandas as pd
+
+    from language_identification_spark.operators.pq import PQ_K, PQ_M
+
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        pdf = pd.read_parquet(f"{sf}/embeddings.parquet")
+    except (FileNotFoundError, OSError):
+        return None
+    pdf = pdf.sort_values("vec_id")
+    mat = np.vstack(
+        [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+    )
+    books = _numpy_train_pq(mat, PQ_M, PQ_K, _PQ_TRAIN_ITERS)
+    dim = mat.shape[1]
+    subdim = dim // PQ_M
+    e_cols = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS e{i}" for i in range(dim)
+    )
+    code_exprs = []
+    for mi in range(PQ_M):
+        dists = []
+        for c in range(PQ_K):
+            expr = ""
+            for j in range(subdim):
+                t = (
+                    f"(e{mi * subdim + j} - {books[mi, c, j]!r}) * "
+                    f"(e{mi * subdim + j} - {books[mi, c, j]!r})"
+                )
+                expr = t if not expr else f"({expr} + {t})"
+            dists.append(expr)
+        lst = "[" + ", ".join(dists) + "]"
+        code_exprs.append(
+            f"(list_position({lst}, list_min({lst})) - 1) AS code{mi}"
+        )
+    return e_cols, ", ".join(code_exprs), books
+
+
+def _sql_pq_encode() -> str | None:
+    parts = _pq_oracle_parts()
+    if parts is None:
+        return None
+    e_cols, code_exprs, books = parts
+    m = books.shape[0]
+    joined = " || '-' || ".join(f"code{i}::VARCHAR" for i in range(m))
+    return f"""
+WITH sub AS (SELECT vec_id, {e_cols} FROM embeddings),
+codes AS (SELECT vec_id, {code_exprs} FROM sub)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, {joined} AS codes_str FROM codes
+"""
+
+
+def _sql_pq_topk() -> str | None:
+    from language_identification_spark.operators.pq import adc_lut
+
+    parts = _pq_oracle_parts()
+    if parts is None:
+        return None
+    e_cols, code_exprs, books = parts
+    lut = adc_lut(_QUERY_VEC, books)
+    score = ""
+    for mi in range(lut.shape[0]):
+        lst = "[" + ", ".join(repr(float(x)) for x in lut[mi]) + "]"
+        term = f"({lst})[code{mi} + 1]"
+        score = term if not score else f"({score} + {term})"
+    return f"""
+WITH sub AS (SELECT vec_id, {e_cols} FROM embeddings),
+codes AS (SELECT vec_id, {code_exprs} FROM sub),
+scored AS (SELECT vec_id, {score} AS score FROM codes)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(round(score * 1000000) AS BIGINT) AS score_micro
+FROM scored ORDER BY score DESC, vec_id LIMIT 10
+"""
+
+
 def _q_line_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.linespans import (
         langid_line_spans,
@@ -4715,6 +4866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_comments": _q_strip_comments,
         "scrub_comments_scoped": _q_scrub_comments_scoped,
         "leakage_safe_split": _q_leakage_split,
+        "pq_encode": _q_pq_encode,
+        "pq_topk_trained": _q_pq_topk,
     }
 
 
@@ -4801,6 +4954,8 @@ def oracle_sql() -> dict[str, str]:
         "strip_comments": _sql_strip_comments(),
         "scrub_comments_scoped": _sql_scrub_comments_scoped(),
         "leakage_safe_split": _sql_leakage_split(),
+        "pq_encode": _sql_pq_encode(),
+        "pq_topk_trained": _sql_pq_topk(),
     }
     # a data-dependent oracle generator may return None (source table
     # unreadable on this host) — omit the entry rather than ship a broken

@@ -591,6 +591,12 @@ def main() -> None:
         lambda: _noop(em._q_leakage_split(spark, SF_DIR)),
         runs=2,
     )
+    # PQ: per-iteration Catalyst assignment + M*K*subdim-scalar aggs, then
+    # the zero-UDF encode / LUT probe — iterative class, min-of-2
+    timed("pq_encode", lambda: _noop(em._q_pq_encode(spark, SF_DIR)), runs=2)
+    timed(
+        "pq_topk_trained", lambda: _noop(em._q_pq_topk(spark, SF_DIR)), runs=2
+    )
 
     total = round(sum(timings.values()), 3)
     files_per_sec = round(BENCH_ROWS / timings["quality_filter_full"], 1)

@@ -1,0 +1,177 @@
+"""Product quantization (PQ) — memory-bounded ANN for 10^12 embeddings.
+
+IVF (``similarity.py``) prunes WHICH vectors a probe scans; PQ bounds the
+BYTES each vector costs.  A dim-64 float32 embedding is 256 bytes; its PQ
+code under M=8 subspaces × K=16 centroids is 8 small ints (one byte each
+packed — here kept as an int array for engine portability).  At 10^12
+vectors the full-precision table is ~256 TB while the code table is ~8 TB
+— the difference between "needs its own cluster" and "fits next to the
+corpus".  This is the Jégou et al. (TPAMI'11) asymmetric-distance scheme:
+
+- **Train** (``train_pq_codebooks``): independent k-means per subspace.
+  Per Lloyd iteration: one *pure-Catalyst* assignment pass (squared-L2 to
+  each of the K centroid literals, explicit left-fold summation order) and
+  ONE groupBy whose result is M×K×(dim/M) scalars — row data never reaches
+  the driver, identical contract to ``train_ivf_centroids``.  Per-iteration
+  9-decimal centroid rounding makes the training trajectory engine- and
+  partitioning-independent (same rationale as the IVF quantizer).
+- **Encode** (``encode_pq``): per subspace, argmin of the K distances with
+  lowest-index tie-break — whole-stage codegen, zero UDF, zero Exchange.
+  Distances are explicit ``((d1+d2)+d3)...`` left folds so the DuckDB
+  oracle reproduces them bit-for-bit (IEEE doubles, same order).
+- **Probe** (``pq_topk``): asymmetric distance computation.  The query
+  builds an M×K lookup table of subvector dot products (driver-side, 128
+  floats, 9-decimal rounded), and each row's score is M ``element_at``
+  lookups summed in fixed order — a row-local projection over the CODE
+  table; the original vectors are never read at probe time.  Top-k by
+  (score desc, id) for deterministic ties.
+
+Scale shape: training shuffles M×K×subdim scalars per iteration; encode is
+one projection writing ints; probes scan only codes (combine with the IVF
+partitioning of ``build_ann_index`` to prune cells AND pay code-sized
+bytes per survivor).  Recall is the standard PQ trade-off — the
+brute-force ``cosine_topk`` remains the exact baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace
+PQ_ITERS = 3
+
+_prng = np.random.default_rng(778)
+# fixed-seed init, frozen at import: (M, K, subdim) for the default dim-64
+_PQ_INIT = _prng.standard_normal((PQ_M, PQ_K, 64 // PQ_M))
+
+
+def _sq_dist(sub: Column, cent: np.ndarray) -> Column:
+    """Squared L2 between a subvector column and one centroid, as an
+    explicit left-fold sum with plain multiplication (not pow) — the exact
+    summation order and operations the oracle replays."""
+    terms = []
+    for j in range(len(cent)):
+        d = F.get(sub, j).cast("double") - F.lit(float(cent[j]))
+        terms.append(d * d)
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def _code_col(vec: Column, books: np.ndarray, m: int) -> Column:
+    """0-based argmin centroid index for subspace ``m``, lowest index on
+    ties: ``array_position(dists, array_min(dists)) - 1`` — linear-sized
+    expression (a when-chain fold would duplicate subtrees exponentially)
+    and the exact shape the DuckDB oracle uses (``list_position`` /
+    ``list_min`` are likewise first-occurrence)."""
+    subdim = books.shape[2]
+    sub = F.slice(vec, m * subdim + 1, subdim)
+    dists = F.array(
+        *[_sq_dist(sub, books[m, c]) for c in range(books.shape[1])]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def encode_pq(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id_col, codes array<int>)`` — pure codegen, zero UDF/Exchange."""
+    vec = F.col(vec_col)
+    codes = F.array(
+        *[_code_col(vec, books, m) for m in range(books.shape[0])]
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means over DataFrame ops; returns (m, k, d/m).
+
+    Deterministic: fixed-seed init (module constant), pure-Catalyst
+    assignment, per-cell ``F.avg`` update rounded to 9 decimals per
+    iteration, empty cells keep their previous centroid.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    subdim = dim // m
+    if m * subdim != dim:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    books = np.round(_PQ_INIT[:m, :k, :subdim].copy(), 9)
+    for _ in range(iters):
+        enc = encode_pq(df, books, vec_col=vec_col, id_col=vec_col).select(
+            F.col("codes"), F.col(vec_col).alias("__v")
+        )
+        stats = (
+            enc.select(
+                F.posexplode(F.col("__v")).alias("pos", "val"),
+                F.col("codes"),
+            )
+            .select(
+                (F.col("pos") / subdim).cast("int").alias("m"),
+                F.pmod(F.col("pos"), F.lit(subdim)).alias("j"),
+                F.col("val").cast("double").alias("val"),
+                F.col("codes"),
+            )
+            .withColumn("c", F.element_at(F.col("codes"), F.col("m") + 1))
+            .groupBy("m", "c", "j")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new = books.copy()
+        for r in stats:
+            new[r["m"], r["c"], r["j"]] = r["mean"]
+        books = np.round(new, 9)
+    return books
+
+
+def adc_lut(query: list[float], books: np.ndarray) -> np.ndarray:
+    """M×K inner-product lookup table, 9-decimal rounded (engine-exact)."""
+    q = np.asarray(query, dtype=np.float64)
+    m, k, subdim = books.shape
+    lut = np.empty((m, k))
+    for i in range(m):
+        lut[i] = books[i] @ q[i * subdim : (i + 1) * subdim]
+    return np.round(lut, 9)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    query: list[float],
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over the CODE table only.
+
+    ``score = sum_m LUT[m][code_m]`` (approximate inner product), summed
+    in fixed subspace order; ties broken by id.  One row-local projection
+    plus a TakeOrderedAndProject — no shuffle of vectors, which are never
+    read.
+    """
+    lut = adc_lut(query, books)
+    terms = [
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut[m]]),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        )
+        for m in range(lut.shape[0])
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    return (
+        codes_df.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
