@@ -36,8 +36,11 @@ brute-force ``cosine_topk`` remains the exact baseline.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 
 PQ_M = 8  # subspaces
 PQ_K = 16  # centroids per subspace
@@ -48,18 +51,39 @@ _prng = np.random.default_rng(778)
 _PQ_INIT = _prng.standard_normal((PQ_M, PQ_K, 64 // PQ_M))
 
 
-def _sq_dist(sub: Column, cent: np.ndarray) -> Column:
-    """Squared L2 between a subvector column and one centroid, as an
-    explicit left-fold sum with plain multiplication (not pow) — the exact
-    summation order and operations the oracle replays."""
-    terms = []
-    for j in range(len(cent)):
-        d = F.get(sub, j).cast("double") - F.lit(float(cent[j]))
-        terms.append(d * d)
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc + t
-    return acc
+def _dists_col(sub: Column, cents_m: np.ndarray) -> Column:
+    """Array of K squared-L2 distances from a subvector to subspace
+    centroids, in centroid order.
+
+    ONE ``transform`` over the K×subdim centroid-matrix literal, each
+    element an ``aggregate(zip_with(sub, cv, (x,c) -> (x-c)*(x-c)), 0.0,
+    +)`` left fold in array order starting at 0.0 — bit-identical to the
+    oracle's explicit ``((t0+t1)+t2)…`` chain (``0.0 + t0 == t0`` exactly;
+    squared terms are never -0.0/NaN).  Expressed as higher-order
+    functions rather than M×K×subdim explicit terms on purpose: the
+    explicit expansion cost ~8 s of whole-stage-codegen COMPILATION per
+    stage at M=8/K=16 (janino on a ~4k-node tree), and even K separate
+    HOF folds cost seconds of Catalyst analysis; one shared lambda per
+    subspace plans instantly and evaluates interpreted — microseconds per
+    row at 1024 multiplies per vector."""
+    mat = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in row])
+            for row in cents_m
+        ]
+    )
+    return F.transform(
+        mat,
+        lambda cv: F.aggregate(
+            F.zip_with(
+                sub,
+                cv,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, t: a + t,
+        ),
+    )
 
 
 def _code_col(vec: Column, books: np.ndarray, m: int) -> Column:
@@ -70,9 +94,7 @@ def _code_col(vec: Column, books: np.ndarray, m: int) -> Column:
     ``list_min`` are likewise first-occurrence)."""
     subdim = books.shape[2]
     sub = F.slice(vec, m * subdim + 1, subdim)
-    dists = F.array(
-        *[_sq_dist(sub, books[m, c]) for c in range(books.shape[1])]
-    )
+    dists = _dists_col(sub, books[m])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -90,6 +112,36 @@ def encode_pq(
     return df.select(F.col(id_col), codes.alias("codes"))
 
 
+def _pq_assign_udf(books: np.ndarray):
+    """Training-time assignment: vectorized Arrow batches (the
+    ``train_ivf_centroids`` contract — codebooks closure-shipped,
+    M×K×subdim floats).  The squared-L2 accumulates PER DIMENSION in the
+    same left-fold order as the Catalyst ``_sq_dist`` and the oracle's
+    numpy retrainer, so all three assign bit-identically; first-min
+    ``argmin`` matches ``array_position(…, array_min(…))``.
+
+    Why not the Catalyst encode during training: the M×K explicit-term
+    expression costs whole-stage-codegen COMPILATION seconds per stage,
+    paid twice per Lloyd iteration — measured 24 s of a 26 s training
+    wall at bench scale.  The Arrow path plans instantly and runs the
+    identical arithmetic."""
+    B = np.ascontiguousarray(books, dtype=np.float64)
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m, k, subdim = B.shape
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for i in range(m):
+            acc = np.zeros((len(mat), k))
+            for j in range(subdim):
+                d = mat[:, i * subdim + j, None] - B[i, None, :, j]
+                acc = acc + d * d
+            out[:, i] = acc.argmin(axis=1)
+        return pd.Series(list(out), index=vecs.index)
+
+    return pandas_udf(_assign, ArrayType(IntegerType()))
+
+
 def train_pq_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -99,9 +151,11 @@ def train_pq_codebooks(
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means over DataFrame ops; returns (m, k, d/m).
 
-    Deterministic: fixed-seed init (module constant), pure-Catalyst
-    assignment, per-cell ``F.avg`` update rounded to 9 decimals per
-    iteration, empty cells keep their previous centroid.
+    Deterministic: fixed-seed init (module constant), Arrow-vectorized
+    assignment bit-matching the Catalyst encode (see ``_pq_assign_udf``),
+    per-cell ``F.avg`` update rounded to 9 decimals per iteration, empty
+    cells keep their previous centroid.  Per iteration the shuffle carries
+    M×K×subdim aggregated scalars — row data never reaches the driver.
     """
     dim = len(df.select(vec_col).first()[0])
     subdim = dim // m
@@ -109,8 +163,10 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     books = np.round(_PQ_INIT[:m, :k, :subdim].copy(), 9)
     for _ in range(iters):
-        enc = encode_pq(df, books, vec_col=vec_col, id_col=vec_col).select(
-            F.col("codes"), F.col(vec_col).alias("__v")
+        assign = _pq_assign_udf(books)
+        enc = df.select(
+            assign(F.col(vec_col)).alias("codes"),
+            F.col(vec_col).alias("__v"),
         )
         stats = (
             enc.select(
