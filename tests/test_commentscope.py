@@ -113,6 +113,71 @@ def test_plan_is_one_rowlocal_projection(spark):
     assert "Python" not in plan
 
 
+# --- property test (hypothesis) ---------------------------------------------
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from language_identification_spark.scrub.patterns import COMPILED
+
+
+def _scalar_rewrite(text: str) -> tuple[str, list[bool]]:
+    """Independent Python reference: same scope spec, stdlib re only."""
+    comment = re.compile(r"^[ \t]*(#|//)")
+    out, flags, depth = [], [], 0
+    for line in text.split("\n"):
+        opens = line.count("/*")
+        closes = line.count("*/")
+        scoped = depth > 0 or bool(comment.search(line)) or opens > 0
+        depth = max(0, depth + opens - closes)
+        flags.append(scoped)
+        if scoped:
+            for _name, rx, repl in COMPILED:
+                line = rx.sub(repl, line)
+        out.append(line)
+    return "\n".join(out), flags
+
+
+_LINE_PIECES = st.lists(
+    st.sampled_from(
+        [
+            "code()",
+            "# c a@b.cc",
+            "// ip 1.2.3.4",
+            "/*",
+            "*/",
+            "/* x */",
+            "x = '*/'",
+            "g = '**/*.py'",
+            "token = hunter2secret",
+            "mail bob@example.com",
+            "  # indented",
+            "",
+        ]
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_LINE_PIECES)
+def test_property_matches_scalar_reference(spark, pieces):
+    text = "\n".join(pieces)
+    expect_text, expect_flags = _scalar_rewrite(text)
+    assert _rewrite(spark, text) == expect_text
+    assert _flags(spark, text) == expect_flags
+
+
+def test_line_count_overlap_semantics():
+    # str.count counts non-overlapping occurrences left-to-right — the
+    # same semantics as the split-based Spark/DuckDB counters; pin the
+    # overlapping '/*/' edge so all three agree by construction
+    assert "/*/".count("/*") == 1 and "/*/".count("*/") == 1
+
+
 @pytest.mark.parametrize(
     "glob_line", ["path = 'src/**/*.py'", "m('**/x/*.js')"]
 )
