@@ -1506,16 +1506,18 @@ FROM reach GROUP BY node
 
 def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-dup components (minhash
-    pairs → min-label closure) are co-assigned by hashing the component id
+    pairs → component closure) are co-assigned by hashing the component id
     through the deterministic sha256 bucket; singletons hash their own id.
     The whole assignment is reproducible off-cluster — the oracle
-    recomputes components AND buckets bit-for-bit.  Min-label propagation
-    here (small diameters at test scale, fewer rounds than the star
-    variant's fingerprint checks); the production curation stage uses the
-    O(log n) star contraction instead (giant-component-safe) — the oracle's
-    recursive closure is variant-independent, so both check green."""
+    recomputes components AND buckets bit-for-bit.  Components come from
+    the O(log n) large-star/small-star contraction — same choice as the
+    curation job and `dup_weighted_docs`: the sf0.1 dup graph has a
+    diameter-8 tail that costs min-label propagation ~3x the wall time for
+    identical labels (measured 16.2s vs 5.0s warm on the materialized
+    178k-pair graph).  The oracle's recursive closure is
+    variant-independent, so either contraction checks green."""
     from language_identification_spark.operators.dedup import (
-        connected_components,
+        connected_components_star,
         jaccard_pairs,
     )
     from language_identification_spark.operators.splits import (
@@ -1524,7 +1526,7 @@ def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
-    comps = connected_components(pairs)
+    comps = connected_components_star(pairs)
     return leakage_safe_split(
         docs, comps, {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select(
