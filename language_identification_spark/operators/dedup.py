@@ -669,15 +669,19 @@ def connected_components_star(
     Same contract as ``connected_components``: (node, comp) with comp = the
     minimum reachable id; every endpoint of ``pairs`` appears.
     """
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     e = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    # node set from the UNFILTERED endpoints: a node whose only pair is a
+    # self-pair (u == v) still satisfies the "every endpoint of ``pairs``
+    # appears" contract — it must come out as its own singleton component,
+    # exactly as connected_components returns it
     nodes = (
-        e.select(F.col("u").alias("node"))
-        .unionByName(e.select(F.col("v").alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )

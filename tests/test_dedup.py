@@ -93,16 +93,18 @@ def test_connected_components_star_matches_propagation(spark):
     )
 
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+        [(1, 2), (2, 3), (5, 6), (9, 3), (7, 7)], "id_a long, id_b long"
     )
     got = {r.node: r.comp for r in connected_components_star(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    # 7's only pair is a self-pair: still an endpoint, so it must appear —
+    # as its own singleton — from BOTH variants (contract parity)
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7}
 
     rng = random.Random(7)
+    # self-edges left in deliberately: both variants must agree on them
     edges = [
         (rng.randrange(60), rng.randrange(60)) for _ in range(70)
     ]
-    edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     prop = {r.node: r.comp for r in connected_components(df).collect()}
     star = {r.node: r.comp for r in connected_components_star(df).collect()}
