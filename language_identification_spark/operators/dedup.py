@@ -669,7 +669,13 @@ def connected_components_star(
     Same contract as ``connected_components``: (node, comp) with comp = the
     minimum reachable id; every endpoint of ``pairs`` appears.
     """
-    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # materialize the raw endpoint pairs ONCE: both the edge set and the
+    # node set derive from it, and deriving either from the uncheckpointed
+    # plan would re-execute the full upstream pair-mining pipeline (minhash,
+    # banding, verification) a second time just to list endpoints
+    raw = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).localCheckpoint()
     e = (
         raw.filter(F.col("u") != F.col("v"))
         .distinct()
