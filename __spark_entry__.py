@@ -986,6 +986,39 @@ FROM documents d LEFT JOIN sim s USING (doc_id)
 """
 
 
+def _sql_simhash_pairs() -> str:
+    """SimHash near-dup pairs oracle: the full integer-exact simhash SQL as a
+    derived table, then the same posting/cap/join/Hamming pipeline re-expressed
+    relationally — UNION ALL posting lists over the 4 chunk keys, a window
+    bucket cap, a bucket self-join, and bit_count(xor) verification (DuckDB's
+    xor/bit_count on negative BIGINTs match Spark's two's-complement
+    semantics, verified in tests/test_oracle_assets.py)."""
+    from language_identification_spark.operators.dedup import MAX_BUCKET
+
+    base = _sql_simhash()
+    return f"""
+WITH sig AS (
+  SELECT doc_id, simhash, chunk0, chunk1, chunk2, chunk3 FROM ({base})
+),
+posts AS (
+  SELECT doc_id, simhash, 0 AS ci, chunk0 AS cv FROM sig
+  UNION ALL SELECT doc_id, simhash, 1, chunk1 FROM sig
+  UNION ALL SELECT doc_id, simhash, 2, chunk2 FROM sig
+  UNION ALL SELECT doc_id, simhash, 3, chunk3 FROM sig
+),
+capped AS (
+  SELECT doc_id, simhash, ci, cv FROM (
+    SELECT p.*, count(*) OVER (PARTITION BY ci, cv) AS bs FROM posts p
+  ) WHERE bs <= {MAX_BUCKET}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM capped a JOIN capped b
+  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def _sql_line_spans() -> str:
     """Majority language per doc from per-block (4-line) classification.
 
@@ -1646,6 +1679,12 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.dedup import simhash_buckets
 
     return simhash_buckets(_docs(spark, sf_dir), "text", "doc_id")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from language_identification_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(spark, sf_dir), "text", "doc_id")
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4818,6 +4857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_representatives": _q_dedup_representatives,
         "simhash_buckets": _q_simhash,
+        "simhash_dup_pairs": _q_simhash_pairs,
         "quality_filter_full": _q_quality_filter,
         "langid_line_spans": _q_line_spans,
         "stratified_sample": _q_stratified_sample,
@@ -4901,6 +4941,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_documents": _sql_scrub(),
         "langid_documents": _sql_langid(),
         "simhash_buckets": _sql_simhash(),
+        "simhash_dup_pairs": _sql_simhash_pairs(),
         "langid_line_spans": _sql_line_spans(),
         "quality_filter_full": _sql_quality_filter(),
         "minhash_jaccard_pairs": _sql_minhash_pairs(),

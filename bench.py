@@ -591,6 +591,13 @@ def main() -> None:
         lambda: _noop(em._q_leakage_split(spark, SF_DIR)),
         runs=2,
     )
+    # SimHash near-dup pairs: one fingerprint UDF, then a capped chunk-key
+    # posting self-join + bit_count(xor) verify — pure Catalyst past the UDF
+    timed(
+        "simhash_dup_pairs",
+        lambda: _noop(em._q_simhash_pairs(spark, SF_DIR)),
+        runs=2,
+    )
     # PQ: per-iteration Catalyst assignment + M*K*subdim-scalar aggs, then
     # the zero-UDF encode / LUT probe — iterative class, min-of-2
     timed("pq_encode", lambda: _noop(em._q_pq_encode(spark, SF_DIR)), runs=2)

@@ -821,6 +821,65 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return out
 
 
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash chunk bucketing + exact Hamming verify.
+
+    Completes the SimHash tier: ``simhash_buckets`` emits fingerprints and
+    the 4 disjoint 16-bit chunk keys; by pigeonhole, two fingerprints within
+    Hamming distance 3 must agree exactly on at least one chunk, so bucketing
+    on (chunk index, chunk value) has perfect recall at ``max_hamming <= 3``
+    (before the skew cap).  Verification is ``bit_count(a XOR b)`` — pure
+    Catalyst, no UDF past the fingerprint stage; only (id, 8-byte simhash)
+    ever shuffles, content stays in place.
+
+    ``max_bucket`` is the same dense-cluster skew guard as the MinHash LSH
+    path (a bucket of c members yields c²/2 join rows); members of a capped
+    bucket still pair through their other, more selective chunks.
+
+    Returns distinct ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    from pyspark.sql import Window
+
+    sigs = simhash_buckets(df, text_col, id_col)
+    posts = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*[F.col(f"chunk{c}") for c in range(4)])).alias(
+            "ci", "cv"
+        ),
+    )
+    bucket_size = F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
+    posts = (
+        posts.withColumn("_bs", bucket_size)
+        .filter(F.col("_bs") <= max_bucket)
+        .drop("_bs")
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def keep_representatives(
     df: DataFrame,
     components: DataFrame,

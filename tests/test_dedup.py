@@ -69,6 +69,40 @@ def test_simhash_locality(docs):
     assert far <= 1
 
 
+def test_simhash_dup_pairs(docs):
+    from language_identification_spark.operators.dedup import simhash_dup_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(docs, "text", "doc_id").collect()
+    }
+    assert got[(0, 1)] == 0  # exact dup → identical fingerprint
+    assert got[(4, 5)] == 0  # empty-vs-empty identical
+    # the one-word swap flips 5 bits on this short text — outside the
+    # default radius 3, inside a widened radius 6 (pins the filter)
+    assert (0, 2) not in got
+    wide = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(docs, "text", "doc_id", max_hamming=6).collect()
+    }
+    assert wide[(0, 2)] == 5
+    assert not any(3 in p for p in got)  # unrelated doc never verifies
+    assert not any(3 in p for p in wide)
+
+
+def test_simhash_dup_pairs_bucket_cap(spark):
+    # a template cluster larger than max_bucket is dropped from its buckets;
+    # with identical fingerprints every chunk bucket is the same oversized
+    # set, so no pairs survive the cap — exact_dedup's job, not simhash's
+    from language_identification_spark.operators.dedup import simhash_dup_pairs
+
+    rows = [(i, BASE) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_dup_pairs(df, "text", "doc_id", max_bucket=4).count() == 0
+    got = simhash_dup_pairs(df, "text", "doc_id", max_bucket=64)
+    assert got.count() == 45  # 10 choose 2, all hamming 0
+
+
 def test_connected_components(spark):
     from language_identification_spark.operators.dedup import (
         connected_components,
