@@ -821,12 +821,18 @@ def simhash_buckets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return out
 
 
+# last persist()ed simhash sig table (see simhash_dup_pairs) — evicted on
+# the next call, same discipline as _PERSISTED_FEATURES
+_PERSISTED_SIMHASH: DataFrame | None = None
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int = MAX_BUCKET,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via SimHash chunk bucketing + exact Hamming verify.
 
@@ -838,15 +844,37 @@ def simhash_dup_pairs(
     Catalyst, no UDF past the fingerprint stage; only (id, 8-byte simhash)
     ever shuffles, content stays in place.
 
+    The (id, simhash) table is ~16 bytes/row, so it is materialized exactly
+    once — ``persist()`` by default, or a parquet staging table when
+    ``staging_path`` is given (the cluster path: survives executor loss
+    without lineage recompute) — and the self-join reads the materialized
+    fingerprints; without this the fingerprint UDF would re-evaluate over
+    the full content on BOTH join sides.
+
     ``max_bucket`` is the same dense-cluster skew guard as the MinHash LSH
     path (a bucket of c members yields c²/2 join rows); members of a capped
-    bucket still pair through their other, more selective chunks.
+    bucket still pair up through their other, more selective chunks.
 
     Returns distinct ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
     from pyspark.sql import Window
 
     sigs = simhash_buckets(df, text_col, id_col)
+    if staging_path is not None:
+        sigs.write.mode("overwrite").parquet(staging_path)
+        sigs = df.sparkSession.read.parquet(staging_path)
+    else:
+        from pyspark import StorageLevel
+
+        global _PERSISTED_SIMHASH
+        if _PERSISTED_SIMHASH is not None:
+            try:
+                _PERSISTED_SIMHASH.unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — e.g. its session already stopped
+                pass
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        _PERSISTED_SIMHASH = sigs
+        sigs.count()  # eager: one UDF pass, visible to both join sides
     posts = sigs.select(
         F.col(id_col),
         F.col("simhash"),

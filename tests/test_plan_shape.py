@@ -128,6 +128,36 @@ def test_winnow_dup_pairs_plan_shape(spark):
     assert "text#" not in phys, phys
 
 
+def test_simhash_dup_pairs_plan_shape(spark):
+    # the SimHash pair miner's 100 TB shape: the fingerprint UDF runs ONCE
+    # (persisted (id, simhash) table feeds both self-join sides — an
+    # InMemoryTableScan, not a second ArrowEvalPython), every Exchange is on
+    # a short key (chunk bucket / id pair), and content never shuffles
+    from language_identification_spark.operators.dedup import simhash_dup_pairs
+
+    rows = [
+        (i, f"def handler_{i}(req): return process(req, mode={i % 3})")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _formatted_plan(simhash_dup_pairs(df, "text", "doc_id"))
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    tree = phys.split("\n\n", 1)[0]
+
+    # both self-join sides read the persisted (id, simhash) table; the
+    # fingerprint UDF appears ONLY inside the InMemoryRelation's cache-build
+    # plan (it ran once, at the eager persist), never on the live path
+    assert tree.count("InMemoryTableScan") == 2, tree
+    first_udf = tree.index("ArrowEvalPython")
+    assert tree.index("InMemoryRelation") < first_udf, tree
+    assert tree.index("InMemoryTableScan") < first_udf, tree
+    exchanges = [l for l in phys.splitlines() if "hashpartitioning" in l]
+    assert len(exchanges) == 3, phys
+    for l in exchanges:
+        assert "ci#" in l or "id_a#" in l, l
+        assert "text#" not in l, l  # content never shuffles
+
+
 def test_quota_cap_window_branch_ids_only(spark, tmp_path_factory):
     """quota_cap's rank must run on an ids-only scan: the parquet source
     appears twice in the plan (window branch + output side) and the window
