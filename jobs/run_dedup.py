@@ -20,9 +20,13 @@ The cluster defaults differ from the in-session ones on purpose:
   shaped or giant components (boilerplate families) where min-label
   propagation needs O(diameter) rounds.
 
+- ``simhash_dup_pairs`` (``--simhash``) stages its (id, fingerprint) table
+  at ``<out>/simhash_sigs`` for the same executor-loss reason.
+
 Outputs: ``<out>/pairs`` (id_a, id_b, jaccard), ``<out>/groups``
-(node, comp), and with ``--winnow`` also ``<out>/winnow_pairs``
-(id_a, id_b, shared_fps) parquet tables.
+(node, comp), with ``--winnow`` also ``<out>/winnow_pairs``
+(id_a, id_b, shared_fps), and with ``--simhash`` also
+``<out>/simhash_pairs`` (id_a, id_b, hamming) parquet tables.
 """
 
 from __future__ import annotations
@@ -52,6 +56,11 @@ def main() -> None:
         "(copied-then-tweaked source code)",
     )
     ap.add_argument("--winnow-min-shared", type=int, default=2)
+    ap.add_argument(
+        "--simhash", action="store_true",
+        help="also mine SimHash Hamming-verified near-dup pairs",
+    )
+    ap.add_argument("--simhash-max-hamming", type=int, default=3)
     ap.add_argument("--app-name", default="near-dup")
     args = ap.parse_args()
 
@@ -61,6 +70,7 @@ def main() -> None:
     from language_identification_spark.operators.dedup import (
         connected_components_star,
         jaccard_pairs,
+        simhash_dup_pairs,
         winnow_dup_pairs,
     )
 
@@ -96,6 +106,19 @@ def main() -> None:
         wpairs.write.mode("overwrite").parquet(f"{args.out}/winnow_pairs")
         stats["winnow_pairs"] = (
             spark.read.parquet(f"{args.out}/winnow_pairs").count()
+        )
+
+    if args.simhash:
+        spairs = simhash_dup_pairs(
+            src,
+            args.text_col,
+            args.id_col,
+            max_hamming=args.simhash_max_hamming,
+            staging_path=f"{args.out}/simhash_sigs",
+        )
+        spairs.write.mode("overwrite").parquet(f"{args.out}/simhash_pairs")
+        stats["simhash_pairs"] = (
+            spark.read.parquet(f"{args.out}/simhash_pairs").count()
         )
 
     print(json.dumps(stats))

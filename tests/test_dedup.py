@@ -335,6 +335,29 @@ def test_winnow_dup_pairs_staged_matches_local(spark, tmp_path):
     assert os.path.exists(os.path.join(staging, "_SUCCESS"))
 
 
+def test_simhash_staging_path_same_result(spark, tmp_path):
+    import os
+
+    from language_identification_spark.operators.dedup import simhash_dup_pairs
+
+    rows = [(0, BASE), (1, BASE), (2, BASE + " tail"), (3, "unrelated text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    local = sorted(
+        map(tuple, simhash_dup_pairs(df, "text", "doc_id").collect())
+    )
+    staging = str(tmp_path / "simhash_sigs")
+    staged = sorted(
+        map(
+            tuple,
+            simhash_dup_pairs(
+                df, "text", "doc_id", staging_path=staging
+            ).collect(),
+        )
+    )
+    assert staged == local and len(local) >= 1
+    assert os.path.exists(os.path.join(staging, "_SUCCESS"))
+
+
 def test_incremental_jaccard_pairs(spark):
     """incremental(lake, delta) == jaccard_pairs(lake ∪ delta) restricted
     to pairs touching the delta — and lake×lake pairs never appear."""
