@@ -41,3 +41,28 @@ def test_every_query_has_an_oracle():
     assert set(qs) == set(oracles)
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_duckdb_xor_bitcount_matches_spark_semantics(spark):
+    """The simhash_dup_pairs oracle relies on DuckDB's xor()/bit_count()
+    over signed BIGINTs agreeing with Spark's two's-complement ^ and
+    bit_count — pin that on the boundary values (negatives, MIN/MAX, 0)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 0x5A5A5A5A5A5A5A5A - 2**63, 42]
+    pairs = [(a, b) for a in vals for b in vals]
+    sdf = spark.createDataFrame(pairs, "a long, b long").select(
+        F.bit_count(F.col("a").bitwiseXOR(F.col("b"))).alias("h")
+    )
+    got = [r.h for r in sdf.collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT CAST(bit_count(xor(CAST({a} AS BIGINT), "
+            f"CAST({b} AS BIGINT))) AS INTEGER)"
+        ).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got == want
