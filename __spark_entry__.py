@@ -2887,6 +2887,35 @@ FROM c
 """
 
 
+def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle diagnostic: top-10 keys by row count with
+    exact integer corpus shares — the measurement that precedes choosing
+    the salt factor / quota cap for mega-repo skew."""
+    from language_identification_spark.operators.repolevel import skew_profile
+
+    return skew_profile(_docs(spark, sf_dir), "source", top_n=10)
+
+
+_SQL_SKEW_PROFILE = """
+WITH per AS (
+  SELECT source AS key, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_chars
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS t_rows,
+         CAST(sum(n_chars) AS BIGINT) AS t_chars
+  FROM per
+)
+SELECT key, n_rows, n_chars,
+       CAST((1000 * n_rows) // t_rows AS BIGINT) AS rows_share_milli,
+       CAST((1000 * n_chars) // t_chars AS BIGINT) AS chars_share_milli
+FROM per, tot
+ORDER BY n_rows DESC, key
+LIMIT 10
+"""
+
+
 def _q_repo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-granularity curation verdicts: one grouped aggregation over
     per-doc quality/token signals with an exact-integer keep decision
@@ -4876,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_upsample": _q_epoch_upsample,
         "fim_transform": _q_fim_transform,
         "repo_rollup": _q_repo_rollup,
+        "skew_profile": _q_skew_profile,
         "dup_weighted_docs": _q_dup_weights,
         "vocab_topk": _q_vocab_topk,
         "bpe_merges": _q_bpe_merges,
@@ -4963,6 +4993,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_upsample": _SQL_EPOCH_UPSAMPLE,
         "fim_transform": _SQL_FIM_TRANSFORM,
         "repo_rollup": _SQL_REPO_ROLLUP,
+        "skew_profile": _SQL_SKEW_PROFILE,
         "dup_weighted_docs": _sql_dup_weights(),
         "vocab_topk": _SQL_VOCAB_TOPK,
         "bpe_merges": _sql_bpe_merges(),

@@ -591,6 +591,9 @@ def main() -> None:
         lambda: _noop(em._q_leakage_split(spark, SF_DIR)),
         runs=2,
     )
+    # heavy-hitter skew diagnostic: one partial-agg groupBy + broadcast
+    # totals + TakeOrderedAndProject — immune to the skew it measures
+    timed("skew_profile", lambda: _noop(em._q_skew_profile(spark, SF_DIR)))
     # SimHash near-dup pairs: one fingerprint UDF, then a capped chunk-key
     # posting self-join + bit_count(xor) verify — pure Catalyst past the UDF
     timed(

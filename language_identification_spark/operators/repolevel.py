@@ -275,3 +275,49 @@ def apply_repo_filter(
     """
     keep_keys = verdicts.filter(F.col("repo_keep")).select(group_col)
     return df.join(F.broadcast(keep_keys), on=group_col, how="inner")
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter diagnostic: which keys would wreck a shuffle.
+
+    The north rule handles mega-repo skew with salting and quota caps —
+    this is the measurement that precedes choosing those factors: per-key
+    row count, character mass, and corpus share (integer milli, exact
+    ``(1000*x) div total`` so the result is bit-reproducible across
+    engines and aggregation orders), for the ``top_n`` heaviest keys.
+    A key holding >1/shuffle-partition-count of the corpus is the salting
+    candidate; a key dominating character mass more than row count is the
+    long-file tail a byte-based quota catches and a row quota misses.
+
+    Scale shape (100 TB lens): one partial-aggregated ``groupBy`` on the
+    key — map-side combine bounds the Exchange to one row per key per
+    upstream partition, so the diagnostic itself is immune to the skew it
+    measures.  Content never shuffles (length() is computed scan-side);
+    the totals are a broadcast single-row cross join, and the top-N cut is
+    a TakeOrderedAndProject (count desc, key asc — deterministic under
+    ties), never a global sort.
+    """
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("_t_rows"), F.sum("n_chars").alias("_t_chars")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            "n_chars",
+            F.expr("(1000 * n_rows) div _t_rows").alias("rows_share_milli"),
+            F.expr("(1000 * n_chars) div _t_chars").alias("chars_share_milli"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_n)
+    )

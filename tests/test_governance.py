@@ -218,3 +218,45 @@ def test_norm_outliers_vectors_never_shuffle(spark):
         if "Exchange" in line:
             assert "embedding" not in line
     assert "EvalPython" not in plan
+
+
+def test_skew_profile_heavy_hitters(spark):
+    from language_identification_spark.operators.repolevel import skew_profile
+
+    rows = (
+        [(f"m{i}", "mega", "x" * 50) for i in range(60)]
+        + [(f"a{i}", "small_a", "y" * 10) for i in range(20)]
+        + [(f"b{i}", "small_b", "z" * 10) for i in range(20)]
+        + [("c0", "tiny", None)]  # NULL text counts as 0 chars, not a crash
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = skew_profile(df, "source", top_n=3).collect()
+    assert [r.key for r in got] == ["mega", "small_a", "small_b"]  # tiny cut
+    m = {r.key: r for r in got}
+    assert m["mega"].n_rows == 60 and m["mega"].n_chars == 3000
+    # exact integer shares: 60/101 rows -> 594 milli, 3000/3400 chars -> 882
+    assert m["mega"].rows_share_milli == (1000 * 60) // 101
+    assert m["mega"].chars_share_milli == (1000 * 3000) // 3400
+    # ties on n_rows break by key ascending (deterministic under ties)
+    assert [m["small_a"].n_rows, m["small_b"].n_rows] == [20, 20]
+
+
+def test_skew_profile_plan_shape(spark):
+    from language_identification_spark.operators.repolevel import skew_profile
+
+    rows = [(f"d{i}", f"s{i % 4}", "x" * i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    plan = (
+        skew_profile(df, "source", top_n=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # top-N is a TakeOrderedAndProject, never a global Sort+Exchange
+    assert "TakeOrderedAndProject" in plan, plan
+    # the totals row arrives by broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # content never shuffles: text absent from every exchange key/row
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
