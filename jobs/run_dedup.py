@@ -60,7 +60,11 @@ def main() -> None:
         "--simhash", action="store_true",
         help="also mine SimHash Hamming-verified near-dup pairs",
     )
-    ap.add_argument("--simhash-max-hamming", type=int, default=3)
+    ap.add_argument(
+        "--simhash-max-hamming", type=int, default=3,
+        help="Hamming radius, 0-3 (the 4-chunk bucketing has full recall "
+        "only to distance 3; larger values are rejected)",
+    )
     ap.add_argument("--app-name", default="near-dup")
     args = ap.parse_args()
 

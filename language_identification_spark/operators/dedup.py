@@ -855,11 +855,25 @@ def simhash_dup_pairs(
     path (a bucket of c members yields c²/2 join rows); members of a capped
     bucket still pair up through their other, more selective chunks.
 
+    ``max_hamming`` must be <= 3: with 4 disjoint chunks the pigeonhole
+    guarantee breaks at distance 4 (one flipped bit per chunk shares no
+    chunk), so a larger radius would silently lose recall — raising beats
+    an incomplete answer (supporting radius r needs r+1 chunk keys).
+
     Returns distinct ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
     from pyspark.sql import Window
 
-    sigs = simhash_buckets(df, text_col, id_col)
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-chunk bucketing only has "
+            "full recall for Hamming <= 3 (radius r needs r+1 chunks)"
+        )
+    # materialize ONLY (id, simhash) — the chunk keys are pure bit-slices,
+    # re-derived after the read so staging width stays at ~16 bytes/row
+    sigs = df.select(
+        F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash")
+    )
     if staging_path is not None:
         sigs.write.mode("overwrite").parquet(staging_path)
         sigs = df.sparkSession.read.parquet(staging_path)
@@ -878,9 +892,16 @@ def simhash_dup_pairs(
     posts = sigs.select(
         F.col(id_col),
         F.col("simhash"),
-        F.posexplode(F.array(*[F.col(f"chunk{c}") for c in range(4)])).alias(
-            "ci", "cv"
-        ),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ci", "cv"),
     )
     bucket_size = F.count(F.lit(1)).over(Window.partitionBy("ci", "cv"))
     posts = (

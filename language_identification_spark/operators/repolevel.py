@@ -318,6 +318,9 @@ def skew_profile(
             F.expr("(1000 * n_rows) div _t_rows").alias("rows_share_milli"),
             F.expr("(1000 * n_chars) div _t_chars").alias("chars_share_milli"),
         )
-        .orderBy(F.col("n_rows").desc(), F.col("key"))
+        # asc_nulls_last: Spark's ascending default is NULLS FIRST while
+        # ANSI engines (the DuckDB oracle) default to NULLS LAST — a NULL
+        # key tied at the top_n boundary must cut identically in both
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc_nulls_last())
         .limit(top_n)
     )

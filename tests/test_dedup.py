@@ -79,15 +79,14 @@ def test_simhash_dup_pairs(docs):
     assert got[(0, 1)] == 0  # exact dup → identical fingerprint
     assert got[(4, 5)] == 0  # empty-vs-empty identical
     # the one-word swap flips 5 bits on this short text — outside the
-    # default radius 3, inside a widened radius 6 (pins the filter)
+    # default radius 3, so the Hamming verify must reject the candidate
     assert (0, 2) not in got
-    wide = {
-        (r.id_a, r.id_b): r.hamming
-        for r in simhash_dup_pairs(docs, "text", "doc_id", max_hamming=6).collect()
-    }
-    assert wide[(0, 2)] == 5
     assert not any(3 in p for p in got)  # unrelated doc never verifies
-    assert not any(3 in p for p in wide)
+    # radius > 3 would silently lose recall (4 chunks ⇒ pigeonhole only
+    # covers distance 3), so the operator fails closed instead
+    for bad in (4, -1):
+        with pytest.raises(ValueError, match="max_hamming"):
+            simhash_dup_pairs(docs, "text", "doc_id", max_hamming=bad)
 
 
 def test_simhash_dup_pairs_bucket_cap(spark):

@@ -241,6 +241,20 @@ def test_skew_profile_heavy_hitters(spark):
     assert [m["small_a"].n_rows, m["small_b"].n_rows] == [20, 20]
 
 
+def test_skew_profile_null_key_ties_cut_like_ansi(spark):
+    # a NULL key tied on n_rows at the top_n boundary must sort NULLS LAST
+    # (the DuckDB oracle's ANSI default), not Spark's ascending NULLS FIRST
+    from language_identification_spark.operators.repolevel import skew_profile
+
+    rows = (
+        [("h1", "heavy", "x"), ("h2", "heavy", "x")]
+        + [("n1", None, "y"), ("a1", "aaa", "y")]  # tied at 1 row each
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = [r.key for r in skew_profile(df, "source", top_n=2).collect()]
+    assert got == ["heavy", "aaa"]  # NULL loses the tie, exactly like the SQL
+
+
 def test_skew_profile_plan_shape(spark):
     from language_identification_spark.operators.repolevel import skew_profile
 
