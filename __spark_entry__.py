@@ -2887,6 +2887,73 @@ FROM c
 """
 
 
+def _q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate table fingerprint: one-pass per-column row/null/exact-
+    distinct counts and stringified min/max over the documents table."""
+    from language_identification_spark.operators.validation import (
+        column_profile,
+    )
+
+    return column_profile(_docs(spark, sf_dir))
+
+
+def _sql_column_profile() -> str:
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    parts = [
+        f"""
+SELECT '{c}' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       coalesce(CAST(min({c}) AS VARCHAR), '') AS min_str,
+       coalesce(CAST(max({c}) AS VARCHAR), '') AS max_str
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style ingest expectations as ONE aggregation pass: per-rule
+    violation counts (NULL verdicts count as violations — an unverifiable
+    row must not pass the gate)."""
+    from language_identification_spark.operators.validation import (
+        validate_expectations,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return validate_expectations(
+        docs,
+        {
+            "doc_id_not_null": F.col("doc_id").isNotNull(),
+            "text_not_null": F.col("text").isNotNull(),
+            "lang_tag_shape": F.col("lang").rlike("^[a-z]{2}"),
+            "n_chars_consistent": F.col("n_chars") == F.length(F.col("text")),
+            "n_chars_non_negative": F.col("n_chars") >= 0,
+        },
+    )
+
+
+_SQL_VALIDATE = """
+WITH w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN coalesce(regexp_matches(lang, '^[a-z]{2}'), false)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+    CAST(sum(CASE WHEN coalesce(n_chars = length(text), false)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+    CAST(sum(CASE WHEN coalesce(n_chars >= 0, false)
+             THEN 0 ELSE 1 END) AS BIGINT) AS v5
+  FROM documents
+)
+SELECT 'doc_id_not_null' AS rule, n_rows, v1 AS n_violations FROM w
+UNION ALL SELECT 'text_not_null', n_rows, v2 FROM w
+UNION ALL SELECT 'lang_tag_shape', n_rows, v3 FROM w
+UNION ALL SELECT 'n_chars_consistent', n_rows, v4 FROM w
+UNION ALL SELECT 'n_chars_non_negative', n_rows, v5 FROM w
+"""
+
+
 def _q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter shuffle diagnostic: top-10 keys by row count with
     exact integer corpus shares — the measurement that precedes choosing
@@ -4906,6 +4973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": _q_fim_transform,
         "repo_rollup": _q_repo_rollup,
         "skew_profile": _q_skew_profile,
+        "column_profile": _q_column_profile,
+        "validate_expectations": _q_validate_expectations,
         "dup_weighted_docs": _q_dup_weights,
         "vocab_topk": _q_vocab_topk,
         "bpe_merges": _q_bpe_merges,
@@ -4994,6 +5063,8 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": _SQL_FIM_TRANSFORM,
         "repo_rollup": _SQL_REPO_ROLLUP,
         "skew_profile": _SQL_SKEW_PROFILE,
+        "column_profile": _sql_column_profile(),
+        "validate_expectations": _SQL_VALIDATE,
         "dup_weighted_docs": _sql_dup_weights(),
         "vocab_topk": _SQL_VOCAB_TOPK,
         "bpe_merges": _sql_bpe_merges(),

@@ -591,6 +591,15 @@ def main() -> None:
         lambda: _noop(em._q_leakage_split(spark, SF_DIR)),
         runs=2,
     )
+    # ingest-gate validation: exact multi-distinct column profile (Expand +
+    # value shuffle) and the counters-only expectations pass
+    timed(
+        "column_profile", lambda: _noop(em._q_column_profile(spark, SF_DIR))
+    )
+    timed(
+        "validate_expectations",
+        lambda: _noop(em._q_validate_expectations(spark, SF_DIR)),
+    )
     # heavy-hitter skew diagnostic: one partial-agg groupBy + broadcast
     # totals + TakeOrderedAndProject — immune to the skew it measures
     timed("skew_profile", lambda: _noop(em._q_skew_profile(spark, SF_DIR)))
