@@ -2887,6 +2887,29 @@ FROM c
 """
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim equi-join: fact side salted from the row key,
+    dim replicated per salt — result bit-identical to the plain join the
+    oracle runs (salting is semantics-invisible by construction)."""
+    from language_identification_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .select("o_custkey", "c_name", "c_mktsegment")
+    )
+    return salted_join(
+        orders, cust, "o_custkey", salt_from="o_orderkey", salt_factor=8
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+_SQL_SALTED_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 def _q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-gate table fingerprint: one-pass per-column row/null/exact-
     distinct counts and stringified min/max over the documents table."""
@@ -4974,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repo_rollup": _q_repo_rollup,
         "skew_profile": _q_skew_profile,
         "column_profile": _q_column_profile,
+        "salted_join": _q_salted_join,
         "validate_expectations": _q_validate_expectations,
         "dup_weighted_docs": _q_dup_weights,
         "vocab_topk": _q_vocab_topk,
@@ -5064,6 +5088,7 @@ def oracle_sql() -> dict[str, str]:
         "repo_rollup": _SQL_REPO_ROLLUP,
         "skew_profile": _SQL_SKEW_PROFILE,
         "column_profile": _sql_column_profile(),
+        "salted_join": _SQL_SALTED_JOIN,
         "validate_expectations": _SQL_VALIDATE,
         "dup_weighted_docs": _sql_dup_weights(),
         "vocab_topk": _SQL_VOCAB_TOPK,

@@ -591,6 +591,8 @@ def main() -> None:
         lambda: _noop(em._q_leakage_split(spark, SF_DIR)),
         runs=2,
     )
+    # skew-safe salted fact-dim join (result bit-identical to plain join)
+    timed("salted_join", lambda: _noop(em._q_salted_join(spark, SF_DIR)))
     # ingest-gate validation: exact multi-distinct column profile (Expand +
     # value shuffle) and the counters-only expectations pass
     timed(
