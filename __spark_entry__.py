@@ -13,6 +13,7 @@ both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -27,6 +28,32 @@ _QUERY_VEC = [round(float(x), 6) for x in np.random.default_rng(4242).standard_n
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+_SPREAD_MULT = int(os.environ.get("SPARK_GRAFT_SPREAD_MULT", "4"))
+
+
+def _spread(df: DataFrame, mult: int = 0) -> DataFrame:
+    """Scan-parallelism guard (guide §2.5, "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The driver's sf tables are SINGLE-row-group parquet files, so a scan
+    yields 1-2 partitions regardless of scale factor and every row-local
+    operator downstream runs on 2 of N cores (measured: gopher_repetition
+    spent 76 s at sf1.0 with 30 cores idle).  When the scan has fewer
+    partitions than the session's parallelism, round-robin repartition to
+    ``mult × defaultParallelism``; when the input is already split finer
+    (the production case — many files / row groups), this is a no-op, so
+    the guard is scale-adaptive rather than a local[32] tune.  ``mult``
+    defaults to ``$SPARK_GRAFT_SPREAD_MULT`` (4): several waves of small
+    tasks amortize stragglers and Python-worker warm-up.
+    """
+    mult = mult or _SPREAD_MULT
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * mult
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _as_source_files(docs: DataFrame) -> DataFrame:
@@ -378,7 +405,7 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.dedup import winnow_dup_pairs
 
     return winnow_dup_pairs(
-        _docs(spark, sf_dir), "text", "doc_id",
+        _spread(_docs(spark, sf_dir)), "text", "doc_id",
         min_shared=_WINNOW_MIN_SHARED,
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -1684,7 +1711,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from language_identification_spark.operators.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_docs(spark, sf_dir), "text", "doc_id")
+    return simhash_dup_pairs(_spread(_docs(spark, sf_dir)), "text", "doc_id")
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,7 +1934,7 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query oracles the chain."""
     from language_identification_spark.operators.similarity import semantic_dedup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return semantic_dedup(emb.select("vec_id", "embedding"), threshold=_DUP_THRESHOLD).select(
         F.col("vec_id").cast("long").alias("vec_id")
     )
@@ -1982,7 +2009,7 @@ def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     books = train_pq_codebooks(emb, iters=_PQ_TRAIN_ITERS)
     return encode_pq(emb, books).select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -2002,7 +2029,7 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     books = train_pq_codebooks(emb, iters=_PQ_TRAIN_ITERS)
     codes = encode_pq(emb, books)
     return pq_topk(codes, _QUERY_VEC, books, k=10).select(
@@ -2201,7 +2228,7 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~50 words; the operator's default is 13."""
     from language_identification_spark.operators.decontaminate import decontaminate
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     bench = docs.filter(F.col("doc_id") % 101 == 7)
     train = docs.filter(F.col("doc_id") % 101 != 7)
     return decontaminate(train, bench, n=3, max_df=4)
@@ -2247,7 +2274,7 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     float formatting can't perturb the hash."""
     from language_identification_spark.operators.retrieval import bm25_topk
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     return bm25_topk(docs, ["dup", "vector", "spark"], k=10)
 
 
@@ -2337,7 +2364,7 @@ def _q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     text hashed, plus kept/removed counts."""
     from language_identification_spark.operators.linededup import dedup_lines
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _spread(_docs(spark, sf_dir)).select(
         "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
     )
     return dedup_lines(docs).select(
@@ -2391,7 +2418,7 @@ def _q_mask_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         remove_repeated_spans,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     return remove_repeated_spans(docs, n=8, min_docs=2).select(
         "doc_id",
         F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("clean_sha256"),
@@ -3012,7 +3039,7 @@ def _q_repo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality_sum >= tau * n_docs — no float-mean order dependence)."""
     from language_identification_spark.operators.repolevel import repo_rollup
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     return repo_rollup(docs, group_col="source", tau_milli=500, min_docs=1)
 
 
@@ -3087,7 +3114,7 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break — one partial-aggregated groupBy + TakeOrderedAndProject."""
     from language_identification_spark.operators.vocab import vocab_topk
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     return vocab_topk(docs, k=100)
 
 
@@ -3221,7 +3248,7 @@ def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries."""
     from language_identification_spark.operators.bpe import bpe_encode, bpe_train
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     merges = [
         (r["left"], r["right"])
         for r in bpe_train(docs, n_merges=8).orderBy("merge_rank").collect()
@@ -3324,7 +3351,7 @@ def _q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         repo_edges,
     )
 
-    docs = _plant_imports(_docs(spark, sf_dir))
+    docs = _spread(_plant_imports(_docs(spark, sf_dir)))
     imports = extract_imports(docs)
     doc_repos = docs.select("doc_id", F.col("source").alias("repo"))
     edges = repo_edges(imports, doc_repos, _module_owners(docs))
@@ -3596,7 +3623,7 @@ def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_embeddings,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     ranges = dimension_ranges(emb)
     out = quantize_embeddings(emb, ranges)
     return out.select(
@@ -3823,7 +3850,7 @@ def _q_quality_lr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_quality_lr,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     w = train_quality_lr(docs)
     return score_quality_lr(docs, w)
 
@@ -4000,7 +4027,7 @@ def _q_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one partial-aggregated groupBy on the repo key."""
     from language_identification_spark.operators.audit import scrub_audit
 
-    docs = _plant_pii(_docs(spark, sf_dir))
+    docs = _spread(_plant_pii(_docs(spark, sf_dir)))
     return scrub_audit(docs).withColumnRenamed("source", "repo")
 
 
@@ -4041,7 +4068,7 @@ def _q_entropy_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local token extraction + Shannon-entropy fold, zero Exchanges."""
     from language_identification_spark.operators.audit import secret_candidates
 
-    docs = _plant_pii(_docs(spark, sf_dir))
+    docs = _spread(_plant_pii(_docs(spark, sf_dir)))
     return secret_candidates(docs)
 
 
@@ -4129,7 +4156,7 @@ def _q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard over file-hash sets via a capped posting-list self-join."""
     from language_identification_spark.operators.repolevel import fork_pairs
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     forked = docs.filter(
         (F.col("doc_id") % 3 == 0)
         & F.col("source").isin("src0", "src1", "src2", "src3")
@@ -4180,7 +4207,7 @@ def _q_repo_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         topo_layers,
     )
 
-    docs = _plant_imports(_docs(spark, sf_dir))
+    docs = _spread(_plant_imports(_docs(spark, sf_dir)))
     imports = extract_imports(docs).withColumn(
         "k", F.substring(F.col("module"), 5, 10).cast("long")
     )
@@ -4269,7 +4296,7 @@ def _q_fork_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure with a recursive CTE and the winner with the same window."""
     from language_identification_spark.operators.repolevel import collapse_forks
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     forked = docs.filter(
         (F.col("doc_id") % 3 == 0)
         & F.col("source").isin("src0", "src1", "src2", "src3")
@@ -4349,7 +4376,7 @@ def _q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         topo_layers,
     )
 
-    docs = _plant_imports(_docs(spark, sf_dir))
+    docs = _spread(_plant_imports(_docs(spark, sf_dir)))
     imports = extract_imports(docs).withColumn(
         "k", F.substring(F.col("module"), 5, 10).cast("long")
     )
@@ -4632,7 +4659,7 @@ def _q_scrub_comments_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_comments_scoped,
     )
 
-    return scrub_comments_scoped(_plant_comment_pii(_docs(spark, sf_dir)))
+    return scrub_comments_scoped(_spread(_plant_comment_pii(_docs(spark, sf_dir))))
 
 
 def _sql_scrub_comments_scoped() -> str:
@@ -4739,7 +4766,7 @@ def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_repetition,
     )
 
-    return gopher_repetition(_docs(spark, sf_dir))
+    return gopher_repetition(_spread(_docs(spark, sf_dir)))
 
 
 def _sql_gopher_repetition() -> str:
@@ -4857,7 +4884,7 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_quality,
     )
 
-    return gopher_quality(_docs(spark, sf_dir))
+    return gopher_quality(_spread(_docs(spark, sf_dir)))
 
 
 _SQL_GOPHER_QUALITY = """

@@ -1,0 +1,146 @@
+"""Per-query isolation bench (guide §1.4): noop-sink timing + plan capture.
+
+NOT the driver contract — ``bench.py`` stays frozen.  This harness times a
+chosen subset of the declared queries one at a time with
+``setJobDescription`` labels, optionally dumps ``explain("formatted")`` to
+``plans/r06/<query>_<tag>.txt``, and prints one JSON line with min-of-N
+seconds per query.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py \
+        [--runs 2] [--tag before] [--plans] query1 query2 ...
+
+With no query names: runs the heavy set.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BENCH_ROWS = int(os.environ.get("BENCH_ROWS", "100000"))
+
+HEAVY = [
+    "semantic_dedup",
+    "gopher_repetition",
+    "leakage_safe_split",
+    "dup_weighted_docs",
+    "bpe_encode",
+    "minhash_jaccard_pairs",
+    "winnow_dup_pairs",
+    "incremental_dedup_pairs",
+    "quantize_embeddings",
+    "quality_lr_train_predict",
+    "topo_order",
+    "entropy_secrets",
+    "mask_repeated_spans",
+    "repo_context",
+    "bm25_topk",
+    "pq_encode",
+    "pq_topk_trained",
+    "simhash_dup_pairs",
+    "repo_pagerank",
+    "decontaminate",
+    "scrub_audit",
+    "dedup_lines",
+    "fork_collapse",
+]
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="*", default=[])
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--tag", default=None, help="plans/r06/<q>_<tag>.txt")
+    ap.add_argument("--plans", action="store_true")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as em
+    from language_identification_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench-extra", cores=cpus)
+
+    registry = {
+        "quality_filter_full": lambda: em._q_quality_filter_full(spark, SF_DIR)
+        if hasattr(em, "_q_quality_filter_full")
+        else None,
+        "minhash_jaccard_pairs": lambda: em._q_minhash_pairs(spark, SF_DIR),
+        "winnow_dup_pairs": lambda: em._q_winnow_pairs(spark, SF_DIR),
+        "semantic_dedup": lambda: em._q_semantic_dedup(spark, SF_DIR),
+        "gopher_repetition": lambda: em._q_gopher_repetition(spark, SF_DIR),
+        "leakage_safe_split": lambda: em._q_leakage_split(spark, SF_DIR),
+        "dup_weighted_docs": lambda: em._q_dup_weights(spark, SF_DIR),
+        "bpe_encode": lambda: em._q_bpe_encode(spark, SF_DIR),
+        "bpe_merges": lambda: em._q_bpe_merges(spark, SF_DIR),
+        "incremental_dedup_pairs": lambda: em._q_incremental_dedup(spark, SF_DIR),
+        "quantize_embeddings": lambda: em._q_quantize_embeddings(spark, SF_DIR),
+        "quality_lr_train_predict": lambda: em._q_quality_lr_predict(spark, SF_DIR),
+        "topo_order": lambda: em._q_topo_order(spark, SF_DIR),
+        "entropy_secrets": lambda: em._q_entropy_secrets(spark, SF_DIR),
+        "mask_repeated_spans": lambda: em._q_mask_repeated_spans(spark, SF_DIR),
+        "repo_context": lambda: em._q_repo_context(spark, SF_DIR),
+        "bm25_topk": lambda: em._q_bm25_topk(spark, SF_DIR),
+        "pq_encode": lambda: em._q_pq_encode(spark, SF_DIR),
+        "pq_topk_trained": lambda: em._q_pq_topk(spark, SF_DIR),
+        "simhash_dup_pairs": lambda: em._q_simhash_pairs(spark, SF_DIR),
+        "repo_pagerank": lambda: em._q_repo_pagerank(spark, SF_DIR),
+        "decontaminate": lambda: em._q_decontaminate(spark, SF_DIR),
+        "scrub_audit": lambda: em._q_scrub_audit(spark, SF_DIR),
+        "dedup_lines": lambda: em._q_dedup_lines(spark, SF_DIR),
+        "fork_collapse": lambda: em._q_fork_collapse(spark, SF_DIR),
+        "gopher_quality": lambda: em._q_gopher_quality(spark, SF_DIR),
+        "vocab_topk": lambda: em._q_vocab_topk(spark, SF_DIR),
+        "sessionize_events": lambda: em._q_sessionize(spark, SF_DIR),
+        "exact_dedup": lambda: em._q_exact_dedup(spark, SF_DIR),
+        "cosine_topk": lambda: em._q_cosine_topk(spark, SF_DIR),
+    }
+
+    names = args.queries or HEAVY
+    timings: dict[str, list[float]] = {}
+    for name in names:
+        fn = registry[name]
+        if args.plans and args.tag:
+            os.makedirs("plans/r06", exist_ok=True)
+            plan = fn()._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+            with open(f"plans/r06/{name}_{args.tag}.txt", "w") as fh:
+                fh.write(plan)
+        samples = []
+        for i in range(args.runs):
+            spark.sparkContext.setJobDescription(f"{name} run{i}")
+            t0 = time.monotonic()
+            _noop(fn())
+            samples.append(round(time.monotonic() - t0, 3))
+            spark.sparkContext.setJobDescription(None)
+        timings[name] = samples
+        print(f"[extra] {name}: {samples}", file=sys.stderr, flush=True)
+
+    print(
+        json.dumps(
+            {
+                "sf_dir": SF_DIR,
+                "cores": cpus,
+                "mins": {k: min(v) for k, v in timings.items()},
+                "samples": timings,
+                "total_min": round(sum(min(v) for v in timings.values()), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,8 @@ Generator; shingle hashing is the shared FNV spec in ``hashing.py``.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Observation
@@ -284,6 +286,7 @@ def jaccard_pairs(
     if staging_path is not None:
         feat.write.mode("overwrite").parquet(staging_path)
         feat = df.sparkSession.read.parquet(staging_path)
+        feat.count()  # eager materialization
     else:
         from pyspark import StorageLevel
 
@@ -311,7 +314,13 @@ def _verify_candidate_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate ``(id_a, id_b)``
     pairs against a materialized feature table (see ``jaccard_pairs`` for
-    the content-hash collapse rationale)."""
+    the content-hash collapse rationale).
+
+    r06 note (guide §1): broadcasting the scalar side tables (id→hash
+    maps, per-hash-pair verdicts) was tried and measured ~25% SLOWER at
+    sf1.0 (23.4 s vs 18.8 s, interleaved A/B) — four broadcast builds +
+    their jobs cost more than the shuffle joins they replace at this
+    pair density.  Kept as shuffle joins."""
     # ids → content hashes (scalar columns only — the arrays stay put)
     idh = feat.select(id_col, "ch")
     pairs_h = pairs.join(

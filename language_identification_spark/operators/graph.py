@@ -42,10 +42,19 @@ tier as ``operators/repolevel.py``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000  # ppb rank mass
+
+# Node-table row gate for broadcasting the per-iteration state tables of
+# the iterative operators (topo layering, PageRank).  A (node, long) row
+# is ~16 bytes, so the default gates the broadcast at ~100 MB framed.
+_GRAPH_BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_MAX_ROWS", "5000000")
+)
 IMPORT_RE = r"(?m)^(?:import|from)[ ]+([A-Za-z_][A-Za-z0-9_.]*)"
 
 
@@ -174,6 +183,17 @@ def topo_layers(
         return nodes.select("node", F.lit(0).cast("long").alias("layer"))
     edges = edges.persist()
     edges.count()
+    # r06 (guide §3.1): the per-round joins carry node-sized tables of two
+    # longs; below the broadcast gate each round's edge⋈assigned and
+    # ready-anti-join become broadcast hash joins — per-round Exchanges
+    # drop from 4 to 1 (the partial-agg shuffle).  Above the gate (node
+    # tables that no longer fit an executor) every join stays a shuffle
+    # join, so the 100 TB shape is unchanged.
+    n_nodes = nodes.count()
+    bcast = n_nodes <= _GRAPH_BROADCAST_MAX_ROWS
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
 
     obs0 = Observation()
     assigned = _cut(
@@ -193,7 +213,7 @@ def topo_layers(
             # is exactly "all predecessors assigned"
             pred = (
                 edges.join(
-                    assigned.withColumnRenamed("node", "src"), "src", "left"
+                    _b(assigned.withColumnRenamed("node", "src")), "src", "left"
                 )
                 .groupBy("dst")
                 .agg(
@@ -205,7 +225,9 @@ def topo_layers(
             ready = (
                 pred.filter(F.col("total") == F.col("done"))
                 .join(
-                    assigned.withColumnRenamed("node", "dst"), "dst", "left_anti"
+                    _b(assigned.withColumnRenamed("node", "dst")),
+                    "dst",
+                    "left_anti",
                 )
                 .select(
                     F.col("dst").alias("node"),
@@ -262,6 +284,14 @@ def pagerank_int(
         nodes.unpersist()
         return spark.createDataFrame([], "node string, rank_ppb long")
     teleport = (100 - damping_pct) * (SCALE // n) // 100
+    # r06 (guide §3.1): same broadcast gate as topo_layers — rank/inflow
+    # tables are (node, long); broadcasting them turns both per-iteration
+    # joins into broadcast hash joins (one partial-agg Exchange per round
+    # instead of three).
+    bcast = n <= _GRAPH_BROADCAST_MAX_ROWS
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
 
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     ed = edges.join(outdeg, "src").persist()
@@ -312,7 +342,7 @@ def pagerank_int(
         for _ in range(n_iters):
             share = dangling // n
             inflow = (
-                ed.join(ranks.withColumnRenamed("node", "src"), "src")
+                ed.join(_b(ranks.withColumnRenamed("node", "src")), "src")
                 .select(
                     F.col("dst").alias("node"),
                     F.expr("rank_ppb DIV outdeg").alias("contrib"),
@@ -322,7 +352,7 @@ def pagerank_int(
             )
             obs = Observation()
             ranks = _cut(
-                flagged.join(inflow, "node", "left").select(
+                flagged.join(_b(inflow), "node", "left").select(
                     "node",
                     (
                         F.lit(teleport)

@@ -1,4 +1,4 @@
-"""Gopher-style within-document repetition signals — pure Catalyst, row-local.
+"""Gopher-style within-document repetition signals — row-local, one scan.
 
 Rae et al. 2021 ("Scaling Language Models: ... Gopher", Table A1) filter
 training documents by *internal* repetition: the fraction of duplicate
@@ -11,12 +11,14 @@ separately-thresholded signal set for corpus quality audits and
 mixture design.
 
 Every signal is a WITHIN-document statistic, so the whole operator is
-row-local: split → ``array_sort`` → one ``aggregate`` fold per signal,
-all higher-order functions inside whole-stage codegen.  Zero Exchange,
-zero Python, one scan at any corpus size — the 100 TB plan is the same
-plan as the laptop plan.  Sorting a document's lines costs
-O(L log L) per row, the same per-document bound every other row-local
-operator here already assumes (``collapse_runs``, ``chunk_documents``).
+row-local: one ``mapInPandas`` stage computing Counter-based occurrence
+statistics per document in exact integer arithmetic.  Zero Exchange, one
+scan at any corpus size — the 100 TB plan is the same plan as the laptop
+plan; only (id, text) cross the Python boundary.  (Until r06 this was a
+chain of Catalyst ``array_sort`` + ``aggregate`` folds — higher-order
+functions evaluate interpreted outside whole-stage codegen and the fold
+subtrees get duplicated per consuming field, which measured ~40x slower
+for identical integer output; see OPTIMIZATION_r06.md.)
 
 Exact definitions (the DuckDB oracle derives them independently via
 UNNEST + GROUP BY, not by mirroring the fold):
@@ -50,8 +52,18 @@ surface alongside ``linededup``/``spandedup``/``collapse_runs``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+import re as _re
+from collections import Counter
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 PPM = 1_000_000
 
@@ -63,97 +75,51 @@ DUP_PARA_CHAR_PPM = 200_000
 TOP_NGRAM_CHAR_PPM = {2: 200_000, 3: 180_000, 4: 160_000}
 
 
-def _dup_fold(items: Column) -> Column:
-    """struct(n, dup, dup_chars) over an array of NON-EMPTY strings.
-
-    Sort-then-fold: after ``array_sort`` equal values are adjacent, so a
-    single pass counting ``x == prev`` sees exactly ``count - 1`` hits
-    per repeated value.  Elements are non-empty by construction, so the
-    empty-string init sentinel can never match a real element.
-    """
-    sorted_items = F.array_sort(items)
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("dup"),
-        F.lit(0).cast("long").alias("dupc"),
-    )
-    folded = F.aggregate(
-        sorted_items,
-        init,
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            (acc["dup"] + F.when(x == acc["prev"], 1).otherwise(0))
-            .cast("long")
-            .alias("dup"),
-            (acc["dupc"] + F.when(x == acc["prev"], F.length(x)).otherwise(0))
-            .cast("long")
-            .alias("dupc"),
-        ),
-    )
-    return F.struct(
-        F.size(items).cast("long").alias("n"),
-        folded["dup"].alias("dup"),
-        folded["dupc"].alias("dup_chars"),
-    )
+# Java regex \s without UNICODE_CHARACTER_CLASS is ASCII-only:
+# [ \t\n\x0B\f\r].  Python's re.ASCII \s is the identical set, so the
+# word tokenization below matches F.split(text, r"\s+") byte-for-byte.
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+_PARA_RE = _re.compile(r"\n\n+")
 
 
-def _top_run_fold(grams: Column) -> Column:
-    """struct(best, best_len): longest equal-run in the SORTED gram array
-    = the highest n-gram count; ties keep the longer gram (worst-case
-    char fraction, deterministic).  Re-compares on every extension, so
-    no finishing step is needed."""
-    sorted_grams = F.array_sort(grams)
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-        F.lit(0).cast("long").alias("bestlen"),
-    )
-
-    def merge(acc: Column, x: Column) -> Column:
-        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).cast(
-            "long"
-        )
-        xlen = F.length(x).cast("long")
-        better = (run2 > acc["best"]) | (
-            (run2 == acc["best"]) & (xlen > acc["bestlen"])
-        )
-        return F.struct(
-            x.alias("prev"),
-            run2.alias("run"),
-            F.when(better, run2).otherwise(acc["best"]).alias("best"),
-            F.when(better, xlen).otherwise(acc["bestlen"]).alias("bestlen"),
-        )
-
-    folded = F.aggregate(sorted_grams, init, merge)
-    return F.struct(
-        folded["best"].alias("best"), folded["bestlen"].alias("best_len")
-    )
+def _dup_stats(parts: list[str]) -> tuple[int, int, int]:
+    """(n, dup, dup_chars) — duplicates are occurrences after the first;
+    identical to the sort-adjacency fold, order-independently."""
+    n = len(parts)
+    if n < 2:
+        return n, 0, 0
+    dup = 0
+    dupc = 0
+    for p, c in Counter(parts).items():
+        if c > 1:
+            dup += c - 1
+            dupc += (c - 1) * len(p)
+    return n, dup, dupc
 
 
-def _word_ngrams(words: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (empty when size(words) < n)."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - n + 1),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def _top_gram_chars(words: list[str], n: int) -> int:
+    """count × length of the most frequent word n-gram; ties toward the
+    LONGER gram (identical to the sorted-run fold's tie-break — only the
+    product is consumed downstream).  Gram length == len(' '.join(g))."""
+    if len(words) < n:
+        return 0
+    best_c = 0
+    best_len = 0
+    for g, c in Counter(zip(*(words[i:] for i in range(n)))).items():
+        if c > best_c:
+            best_c = c
+            best_len = sum(map(len, g)) + n - 1
+        elif c == best_c:
+            glen = sum(map(len, g)) + n - 1
+            if glen > best_len:
+                best_len = glen
+    return best_c * best_len
 
 
-def _ppm_div(num: str, den: str) -> Column:
-    """Exact integer ppm over already-LONG numerator/denominator columns.
-
-    ``DIV`` (not float-divide-and-floor): a correctly-rounded double
-    quotient sitting half an ulp below an integer floors to the wrong
-    bucket, while DuckDB's ``//`` is exact — same rationale as
-    ``operators/codestats.py``.  Numerators are pre-multiplied by PPM in
-    LONG (32-bit overflows at ~2148)."""
-    return F.when(
-        F.col(den) > 0,
-        F.expr(f"({PPM}L * {num}) DIV {den}"),
-    ).otherwise(F.lit(0).cast("long"))
+def _ppm(num: int, den: int) -> int:
+    """Exact integer ppm — Python ``//`` on non-negative ints equals
+    Spark's ``DIV`` on longs."""
+    return (PPM * num) // den if den > 0 else 0
 
 
 def gopher_repetition(
@@ -167,63 +133,67 @@ def gopher_repetition(
     Output: ``(id_col, n_chars, dup_line_ppm, dup_line_char_ppm,
     dup_para_ppm, dup_para_char_ppm, top_{n}gram_char_ppm ...,
     repetition_keep)`` — all integers except the boolean verdict.
-    """
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    n_chars = F.length(text).cast("long")
 
-    def nonempty(parts: Column) -> Column:
-        return F.filter(parts, lambda x: F.trim(x) != F.lit(""))
+    r06 (guide §4.2): computed in ONE ``mapInPandas`` stage instead of
+    row-local Catalyst higher-order-function folds.  HOFs evaluate
+    outside whole-stage codegen (interpreted, with the fold subtree
+    duplicated per consuming field), which measured 76 s at sf1.0 vs ~2 s
+    for the same integer arithmetic as C-speed Counter passes.  Every
+    statistic is a count/length/integer-floor-division, so the output is
+    integer-for-integer identical (the DuckDB oracle derives the same
+    numbers via UNNEST + GROUP BY either way); the operator stays
+    row-local — one scan, no Exchange, only (id, text) cross the Python
+    boundary."""
+    ns = tuple(ngram_ns)
+    fields = [
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("n_chars", LongType()),
+        StructField("dup_line_ppm", LongType()),
+        StructField("dup_line_char_ppm", LongType()),
+        StructField("dup_para_ppm", LongType()),
+        StructField("dup_para_char_ppm", LongType()),
+        *[StructField(f"top_{n}gram_char_ppm", LongType()) for n in ns],
+        StructField("repetition_keep", BooleanType()),
+    ]
+    schema = StructType(fields)
+    names = [f.name for f in fields]
 
-    lines = nonempty(F.split(text, "\n"))
-    paras = nonempty(F.split(text, r"\n\n+"))
-    words = F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(text), r"\s+")
-    )
+    def _batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].tolist()
+            texts = pdf[text_col].tolist()
+            rows: list[list] = []
+            for i, t in enumerate(texts):
+                t = "" if t is None else str(t)
+                n_chars = len(t)
+                # Spark trim strips 0x20 only — hence strip(" "), not strip()
+                lines = [x for x in t.split("\n") if x.strip(" ") != ""]
+                paras = [x for x in _PARA_RE.split(t) if x.strip(" ") != ""]
+                t2 = t.strip(" ")
+                words = _WS_RE.split(t2) if t2 != "" else []
+                ln, ld, ldc = _dup_stats(lines)
+                pn, pdp, pdc = _dup_stats(paras)
+                row = [
+                    ids[i],
+                    n_chars,
+                    _ppm(ld, ln),
+                    _ppm(ldc, n_chars),
+                    _ppm(pdp, pn),
+                    _ppm(pdc, n_chars),
+                ]
+                tops = [_ppm(_top_gram_chars(words, n), n_chars) for n in ns]
+                row.extend(tops)
+                keep = (
+                    row[2] <= DUP_LINE_PPM
+                    and row[4] <= DUP_PARA_PPM
+                    and row[3] <= DUP_LINE_CHAR_PPM
+                    and row[5] <= DUP_PARA_CHAR_PPM
+                )
+                for n, v in zip(ns, tops):
+                    if n in TOP_NGRAM_CHAR_PPM:
+                        keep = keep and v <= TOP_NGRAM_CHAR_PPM[n]
+                row.append(bool(keep))
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=names)
 
-    folded = df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        _dup_fold(lines).alias("_l"),
-        _dup_fold(paras).alias("_p"),
-        *[
-            _top_run_fold(_word_ngrams(words, n)).alias(f"_t{n}")
-            for n in ngram_ns
-        ],
-    ).select(
-        id_col,
-        "n_chars",
-        F.col("_l.n").alias("_l_n"),
-        F.col("_l.dup").alias("_l_dup"),
-        F.col("_l.dup_chars").alias("_l_dupc"),
-        F.col("_p.n").alias("_p_n"),
-        F.col("_p.dup").alias("_p_dup"),
-        F.col("_p.dup_chars").alias("_p_dupc"),
-        *[
-            (F.col(f"_t{n}.best") * F.col(f"_t{n}.best_len")).alias(f"_t{n}_chars")
-            for n in ngram_ns
-        ],
-    )
-    out = folded.select(
-        id_col,
-        "n_chars",
-        _ppm_div("_l_dup", "_l_n").alias("dup_line_ppm"),
-        _ppm_div("_l_dupc", "n_chars").alias("dup_line_char_ppm"),
-        _ppm_div("_p_dup", "_p_n").alias("dup_para_ppm"),
-        _ppm_div("_p_dupc", "n_chars").alias("dup_para_char_ppm"),
-        *[
-            _ppm_div(f"_t{n}_chars", "n_chars").alias(f"top_{n}gram_char_ppm")
-            for n in ngram_ns
-        ],
-    )
-    keep = (
-        (F.col("dup_line_ppm") <= DUP_LINE_PPM)
-        & (F.col("dup_para_ppm") <= DUP_PARA_PPM)
-        & (F.col("dup_line_char_ppm") <= DUP_LINE_CHAR_PPM)
-        & (F.col("dup_para_char_ppm") <= DUP_PARA_CHAR_PPM)
-    )
-    for n in ngram_ns:
-        if n in TOP_NGRAM_CHAR_PPM:
-            keep = keep & (
-                F.col(f"top_{n}gram_char_ppm") <= TOP_NGRAM_CHAR_PPM[n]
-            )
-    return out.withColumn("repetition_keep", keep)
+    return df.select(id_col, text_col).mapInPandas(_batch, schema)

@@ -15,9 +15,11 @@ executor (module-level constant).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -44,14 +46,36 @@ def _cosine_expr(vec_col: str, query: list[float]) -> F.Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = F.sqrt(
+    norm = _norm_hof(F.col(vec_col))
+    return dot / (norm * F.lit(qn))
+
+
+# r06 measurement note (guide §1): an "unrolled" left-fold chain of 64
+# explicit ``v[i]*q[i]`` terms was tried in place of these higher-order
+# functions and measured 4x SLOWER in a Project (1.03 s vs 0.23 s per
+# sf1.0 pass) and 10x slower inside a join condition (131 s vs 13 s for
+# the 46M-pair dup verify) — the giant expression tree evaluates node-by-
+# node while the HOF's interpreted fold is a tight loop.  Keep the HOFs.
+
+
+def _norm_hof(v: Column) -> Column:
+    """sqrt of the left-fold sum of squares (HOF form — see note above)."""
+    return F.sqrt(
         F.aggregate(
-            F.transform(F.col(vec_col), lambda a: a.cast("double") * a.cast("double")),
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    return dot / (norm * F.lit(qn))
+
+
+def _dot_hof(va: Column, vb: Column) -> Column:
+    """Left-fold dot product (HOF form — see note above)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def cosine_topk(
@@ -156,59 +180,122 @@ def _dup_band_batch(vecs: pd.Series) -> pd.Series:
 dup_band_udf = pandas_udf(_dup_band_batch, ArrayType(LongType()))
 
 
+# Above this many input rows the band self-join falls back to the shuffle
+# strategy (the broadcast table is the banded input itself — 4 rows per
+# vector with the vector carried, so ~1.3 GB/M rows framed).
+_DUP_BROADCAST_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_DUP_BROADCAST_MAX_ROWS", "1000000")
+)
+
+# last persist()ed banded-feature table — evicted on the next call (same
+# single-slot discipline as dedup._PERSISTED_FEATURES)
+_PERSISTED_DUP_FEAT: DataFrame | None = None
+
+
 def cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.9,
     vec_col: str = "embedding", id_col: str = "vec_id",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= τ).
 
-    Candidates via sign-LSH banding (no O(n²) cross join — one shuffle on
-    short band keys), then exact cosine verification as a pure zip_with
-    expression.  The vectors themselves join only onto candidate pairs.
+    Candidates via sign-LSH banding (no O(n²) cross join), then exact
+    cosine verification.  Same pair set and bit-identical cosines as the
+    round-5 implementation; the execution shape is new (r06, guide
+    §2.3/§2.4/§4):
+
+    - The banded feature table ``(id, vec, norm, b0..b3)`` is computed by
+      ONE UDF pass and persisted; the norm is precomputed per VECTOR
+      instead of twice per candidate pair.
+    - Vectors and band keys travel together through the explode, so the
+      band self-join verifies candidates IN PLACE — the two per-pair
+      vector-attach joins (and their exchanges of the candidate table)
+      are gone.
+    - The ``distinct()`` exchange over the candidate pairs is replaced by
+      a first-shared-band predicate (a pair colliding in k bands is
+      emitted only at its first shared band — same unique pair set, zero
+      shuffle).
+    - The cosine threshold sits LAST in the join condition, after the
+      cheap integer conjuncts, so the 64-dim dot only evaluates for
+      deduplicated id-ordered candidates (conjunct order alone measured
+      131 s vs 13 s at sf1.0; see the fold-form note at ``_dot_hof``).
+    - Below ``_DUP_BROADCAST_MAX_ROWS`` input rows the self-join
+      broadcasts the build side and round-robin-repartitions the probe
+      side: with only ``2^rows_per_band`` distinct sign patterns per
+      band, a shuffle join is capped at #bands × 2^rows patterns
+      partitions (64 here) and AQE coalesces the tiny key exchange to a
+      handful of tasks while the downstream per-pair work explodes —
+      the classic "shuffle bytes small, compute huge" mismatch.  The
+      broadcast path spreads candidate generation + verification evenly
+      over 4×parallelism tasks.  Above the threshold (or via the
+      ``SPARK_GRAFT_DUP_BROADCAST_MAX_ROWS`` env) it falls back to the
+      shuffle join on the band key.
     """
-    banded = df.select(
+    feat = df.select(
         F.col(id_col), F.col(vec_col), dup_band_udf(F.col(vec_col)).alias("bands")
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_hof(F.col(vec_col)).alias("_nrm"),
+        *[F.col("bands").getItem(j).alias(f"_b{j}") for j in range(_DUP_BANDS)],
     )
-    keys = banded.select(id_col, F.explode("bands").alias("band_key"))
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    global _PERSISTED_DUP_FEAT
+    if _PERSISTED_DUP_FEAT is not None:
+        try:
+            _PERSISTED_DUP_FEAT.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — e.g. its session already stopped
+            pass
+    feat = feat.persist()
+    n_rows = feat.count()
+    _PERSISTED_DUP_FEAT = feat
+    keys = feat.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_nrm"),
+        *[F.col(f"_b{j}") for j in range(_DUP_BANDS)],
+        F.posexplode(
+            F.array(*[F.col(f"_b{j}") for j in range(_DUP_BANDS)])
+        ).alias("_bi", "_bk"),
     )
-    vecs = banded.select(F.col(id_col), F.col(vec_col))
-    joined = (
-        cand.join(
-            vecs.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "va"),
-            "id_a",
-        ).join(
-            vecs.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "vb"),
-            "id_b",
-        )
+    use_broadcast = n_rows <= _DUP_BROADCAST_MAX_ROWS
+    if use_broadcast:
+        n_parts = max(df.sparkSession.sparkContext.defaultParallelism * 4, 8)
+        a = keys.repartition(n_parts).alias("a")
+    else:
+        a = keys.alias("a")
+    b = keys.alias("b")
+
+    def A(c: str) -> Column:
+        return F.col(f"a.{c}")
+
+    def B(c: str) -> Column:
+        return F.col(f"b.{c}")
+
+    # emit each colliding pair exactly once: at the FIRST band whose keys
+    # agree (band keys embed the band index, so equality only occurs at
+    # equal _bi) — replaces distinct() with a row-local predicate
+    first = A("_bi") == 0
+    for k in range(1, _DUP_BANDS):
+        t = A("_bi") == k
+        for j in range(k):
+            t = t & (A(f"_b{j}") != B(f"_b{j}"))
+        first = first | t
+    cos = F.round(
+        _dot_hof(A(vec_col), B(vec_col)) / (A("_nrm") * B("_nrm")), 6
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # the threshold goes INTO the join condition, AFTER the cheap integer
+    # conjuncts: a trailing .filter() would be pushed into the condition by
+    # the optimizer anyway — but ANDed in FRONT, evaluating the 64-dim dot
+    # for every probed match before the id/first-band short-circuits
+    # (measured 131 s vs 13 s at sf1.0 for conjunct order alone)
+    cond = (
+        (A("_bk") == B("_bk"))
+        & (A(id_col) < B(id_col))
+        & first
+        & (cos >= F.lit(threshold))
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cos = dot / (norm(F.col("va")) * norm(F.col("vb")))
-    return (
-        joined.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    cand = a.join(F.broadcast(b) if use_broadcast else b, cond)
+    return cand.select(
+        A(id_col).alias("id_a"), B(id_col).alias("id_b"), cos.alias("cosine")
     )
 
 

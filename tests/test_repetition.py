@@ -120,7 +120,11 @@ def test_counts_top_gram_even_when_unique(spark):
     assert row["top_2gram_char_ppm"] == (PPM * 8) // 8
 
 
-def test_plan_row_local_no_python(docs):
+def test_plan_row_local_single_python_stage(docs):
+    # r06: the signals are computed in ONE mapInPandas stage (guide §4.2 —
+    # the Catalyst HOF folds evaluated interpreted and ~40x slower).  The
+    # invariants that matter at 100 TB: still row-local (no Exchange), a
+    # single Python crossing, and only (id, text) cross the boundary.
     import contextlib
     import io
 
@@ -129,6 +133,7 @@ def test_plan_row_local_no_python(docs):
         gopher_repetition(docs).explain("formatted")
     plan = buf.getvalue()
     assert "Exchange" not in plan
+    assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
