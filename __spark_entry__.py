@@ -1587,8 +1587,10 @@ def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
     comps = connected_components_star(pairs)
+    # the split's own doc scan is row-local sha hashing — spread it (the
+    # miner spreads its input internally with its own feature compaction)
     return leakage_safe_split(
-        docs, comps, {"train": 0.9, "val": 0.05, "test": 0.05}
+        _spread(docs), comps, {"train": 0.9, "val": 0.05, "test": 0.05}
     ).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("split_key").cast("long").alias("split_key"),
@@ -2009,7 +2011,7 @@ def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = train_pq_codebooks(emb, iters=_PQ_TRAIN_ITERS)
     return encode_pq(emb, books).select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -2029,7 +2031,7 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_pq_codebooks,
     )
 
-    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = train_pq_codebooks(emb, iters=_PQ_TRAIN_ITERS)
     codes = encode_pq(emb, books)
     return pq_topk(codes, _QUERY_VEC, books, k=10).select(
@@ -3039,7 +3041,7 @@ def _q_repo_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality_sum >= tau * n_docs — no float-mean order dependence)."""
     from language_identification_spark.operators.repolevel import repo_rollup
 
-    docs = _spread(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
     return repo_rollup(docs, group_col="source", tau_milli=500, min_docs=1)
 
 
@@ -3351,7 +3353,7 @@ def _q_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         repo_edges,
     )
 
-    docs = _spread(_plant_imports(_docs(spark, sf_dir)))
+    docs = _plant_imports(_docs(spark, sf_dir))
     imports = extract_imports(docs)
     doc_repos = docs.select("doc_id", F.col("source").alias("repo"))
     edges = repo_edges(imports, doc_repos, _module_owners(docs))
@@ -4156,7 +4158,7 @@ def _q_fork_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard over file-hash sets via a capped posting-list self-join."""
     from language_identification_spark.operators.repolevel import fork_pairs
 
-    docs = _spread(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
     forked = docs.filter(
         (F.col("doc_id") % 3 == 0)
         & F.col("source").isin("src0", "src1", "src2", "src3")
@@ -4207,7 +4209,7 @@ def _q_repo_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         topo_layers,
     )
 
-    docs = _spread(_plant_imports(_docs(spark, sf_dir)))
+    docs = _plant_imports(_docs(spark, sf_dir))
     imports = extract_imports(docs).withColumn(
         "k", F.substring(F.col("module"), 5, 10).cast("long")
     )
@@ -4296,7 +4298,7 @@ def _q_fork_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure with a recursive CTE and the winner with the same window."""
     from language_identification_spark.operators.repolevel import collapse_forks
 
-    docs = _spread(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
     forked = docs.filter(
         (F.col("doc_id") % 3 == 0)
         & F.col("source").isin("src0", "src1", "src2", "src3")
@@ -4376,7 +4378,7 @@ def _q_topo_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         topo_layers,
     )
 
-    docs = _spread(_plant_imports(_docs(spark, sf_dir)))
+    docs = _plant_imports(_docs(spark, sf_dir))
     imports = extract_imports(docs).withColumn(
         "k", F.substring(F.col("module"), 5, 10).cast("long")
     )

@@ -112,7 +112,17 @@ def train_quality_lr(
     its cached split from lineage instead of failing the job."""
     feats = lr_feature_cols(df, text_col).select(
         "len_milli", "punct_permilli", "stop_permilli", "label"
-    ).persist()
+    )
+    # r06 (guide §2.2/§5): the iteration table is 4 longs/row; when the
+    # (possibly spread) extraction ran wide, 40 gradient jobs over a
+    # many-partition cache pay task scheduling, not compute.  Compact the
+    # cached table to a bounded partition count; for feature tables that
+    # are already few-partition this is a no-op.
+    sc = df.sparkSession.sparkContext
+    target = max(8, sc.defaultParallelism // 4)
+    if feats.rdd.getNumPartitions() > 4 * target:
+        feats = feats.repartition(target)
+    feats = feats.persist()
     x1 = F.col("len_milli").cast("double") / F.lit(1000.0)
     x2 = F.col("punct_permilli").cast("double") / F.lit(1000.0)
     x3 = F.col("stop_permilli").cast("double") / F.lit(1000.0)

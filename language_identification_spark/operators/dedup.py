@@ -167,6 +167,29 @@ MAX_BUCKET = 64  # LSH bucket-size cap (skew guard)
 _PERSISTED_FEATURES: DataFrame | None = None
 
 
+def _spread_scan(df: DataFrame) -> tuple[DataFrame, bool]:
+    """(df, did_spread): spread an under-partitioned scan to 4×parallelism
+    for the feature-UDF pass (a single-row-group parquet file cannot split
+    below one task per row group, guide §2.5).  No-op — and the follow-up
+    feature compaction never fires — when the input is already at least
+    parallelism-wide, the production case."""
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(4 * cores), True
+    return df, False
+
+
+def _feat_parts(df: DataFrame) -> int:
+    """Bounded partition count for a persisted feature table whose source
+    scan had to be spread: the downstream band/verify stages run fastest
+    on few fat partitions of this ~100x-smaller-than-content table
+    (interleaved A/B at sf1.0: 8 parts 14.4 s, 16 parts 16.2 s, 32 parts
+    19.0 s, spread-width 30.7 s)."""
+    sc = df.sparkSession.sparkContext
+    return max(8, sc.defaultParallelism // 4)
+
+
 def _band_table(sigs: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
     """Explode signatures into (id, band, bucket) with the skew cap applied.
 
@@ -266,7 +289,19 @@ def jaccard_pairs(
     and the per-hash verdicts join back onto the id pairs as scalars.
     Output is bit-identical to per-pair verification (jaccard depends only
     on content).
+
+    r06 partitioning (guide §2.5): single-row-group parquet inputs leave
+    the (dominant) feature-UDF pass on 1-2 scan tasks, while a feature
+    CACHE with many partitions slows every downstream band/verify stage
+    (more tasks than work).  The two are decoupled: when the input scan
+    is under-partitioned, spread it to 4×parallelism for the UDF pass,
+    then round-robin the ~100x-smaller feature table down to a bounded
+    partition count before persisting (interleaved A/B at sf1.0:
+    14.4 s vs 19.2 s raw vs 30.7 s spread-only).  At production scale the
+    scan is already partitioned and the spread is a no-op; the feature
+    repartition then never fires either.
     """
+    df, did_spread = _spread_scan(df)
     f = features_udf(F.col(text_col))
     feat = df.select(
         F.col(id_col),
@@ -290,6 +325,8 @@ def jaccard_pairs(
     else:
         from pyspark import StorageLevel
 
+        if did_spread:
+            feat = feat.repartition(_feat_parts(feat))
         # repeated calls in one session (bench min-of-3, run loops) must not
         # accumulate cached feature tables in executor storage (ADVICE r02):
         # evict the previous call's table before persisting this one.  Long
@@ -400,6 +437,11 @@ def incremental_jaccard_pairs(
     """
     f = features_udf(F.col(text_col))
 
+    # same scan-spread / feature-compaction split as jaccard_pairs (r06)
+    lake, lake_spread = _spread_scan(lake)
+    delta, delta_spread = _spread_scan(delta)
+    did_spread = lake_spread or delta_spread
+
     def _feat(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col),
@@ -425,11 +467,12 @@ def incremental_jaccard_pairs(
         if not _os.path.exists(_os.path.join(lake_staging, "_SUCCESS")):
             feat_lake.write.mode("overwrite").parquet(lake_staging)
         feat_lake = lake.sparkSession.read.parquet(lake_staging)
-    feat = (
-        feat_lake.withColumn("is_delta", F.lit(False))
-        .unionByName(_feat(delta).withColumn("is_delta", F.lit(True)))
-        .persist()
+    feat = feat_lake.withColumn("is_delta", F.lit(False)).unionByName(
+        _feat(delta).withColumn("is_delta", F.lit(True))
     )
+    if did_spread:
+        feat = feat.repartition(_feat_parts(feat))
+    feat = feat.persist()
     feat.count()
     try:
         bands = _band_table(
@@ -700,6 +743,10 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # r06 negative result (guide §1): broadcasting the per-round min-label
+    # tables was tried and measured 4x SLOWER on fork_collapse at sf1.0
+    # (3.2 s -> 13.3 s) — the label table changes every round, so each
+    # round pays a fresh blocking broadcast build.  Shuffle joins kept.
 
     # order-insensitive edge-set fingerprint: (count, sum of pair hash);
     # decimal(38,0) sum — a long sum overflows under ANSI mode

@@ -42,19 +42,10 @@ tier as ``operators/repolevel.py``).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000  # ppb rank mass
-
-# Node-table row gate for broadcasting the per-iteration state tables of
-# the iterative operators (topo layering, PageRank).  A (node, long) row
-# is ~16 bytes, so the default gates the broadcast at ~100 MB framed.
-_GRAPH_BROADCAST_MAX_ROWS = int(
-    os.environ.get("SPARK_GRAFT_GRAPH_BROADCAST_MAX_ROWS", "5000000")
-)
 IMPORT_RE = r"(?m)^(?:import|from)[ ]+([A-Za-z_][A-Za-z0-9_.]*)"
 
 
@@ -183,17 +174,11 @@ def topo_layers(
         return nodes.select("node", F.lit(0).cast("long").alias("layer"))
     edges = edges.persist()
     edges.count()
-    # r06 (guide §3.1): the per-round joins carry node-sized tables of two
-    # longs; below the broadcast gate each round's edge⋈assigned and
-    # ready-anti-join become broadcast hash joins — per-round Exchanges
-    # drop from 4 to 1 (the partial-agg shuffle).  Above the gate (node
-    # tables that no longer fit an executor) every join stays a shuffle
-    # join, so the 100 TB shape is unchanged.
-    n_nodes = nodes.count()
-    bcast = n_nodes <= _GRAPH_BROADCAST_MAX_ROWS
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast else df
+    # r06 negative result (guide §1): broadcasting the per-round
+    # node-sized state tables was tried and measured ~2x SLOWER at sf1.0
+    # (topo_order 8.0 s -> 19.3 s) — every round's state changes, so each
+    # broadcast is a fresh blocking build job that costs more than the
+    # tiny shuffle it replaces.  Kept as shuffle joins.
 
     obs0 = Observation()
     assigned = _cut(
@@ -213,7 +198,7 @@ def topo_layers(
             # is exactly "all predecessors assigned"
             pred = (
                 edges.join(
-                    _b(assigned.withColumnRenamed("node", "src")), "src", "left"
+                    assigned.withColumnRenamed("node", "src"), "src", "left"
                 )
                 .groupBy("dst")
                 .agg(
@@ -225,9 +210,7 @@ def topo_layers(
             ready = (
                 pred.filter(F.col("total") == F.col("done"))
                 .join(
-                    _b(assigned.withColumnRenamed("node", "dst")),
-                    "dst",
-                    "left_anti",
+                    assigned.withColumnRenamed("node", "dst"), "dst", "left_anti"
                 )
                 .select(
                     F.col("dst").alias("node"),
@@ -284,14 +267,9 @@ def pagerank_int(
         nodes.unpersist()
         return spark.createDataFrame([], "node string, rank_ppb long")
     teleport = (100 - damping_pct) * (SCALE // n) // 100
-    # r06 (guide §3.1): same broadcast gate as topo_layers — rank/inflow
-    # tables are (node, long); broadcasting them turns both per-iteration
-    # joins into broadcast hash joins (one partial-agg Exchange per round
-    # instead of three).
-    bcast = n <= _GRAPH_BROADCAST_MAX_ROWS
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast else df
+    # r06 negative result: per-iteration broadcasts of the rank/inflow
+    # tables measured 6.2 s -> 9.8 s at sf1.0 (fresh broadcast build per
+    # round) — see topo_layers note.  Shuffle joins kept.
 
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     ed = edges.join(outdeg, "src").persist()
@@ -342,7 +320,7 @@ def pagerank_int(
         for _ in range(n_iters):
             share = dangling // n
             inflow = (
-                ed.join(_b(ranks.withColumnRenamed("node", "src")), "src")
+                ed.join(ranks.withColumnRenamed("node", "src"), "src")
                 .select(
                     F.col("dst").alias("node"),
                     F.expr("rank_ppb DIV outdeg").alias("contrib"),
@@ -352,7 +330,7 @@ def pagerank_int(
             )
             obs = Observation()
             ranks = _cut(
-                flagged.join(_b(inflow), "node", "left").select(
+                flagged.join(inflow, "node", "left").select(
                     "node",
                     (
                         F.lit(teleport)

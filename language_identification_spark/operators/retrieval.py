@@ -42,6 +42,9 @@ from language_identification_spark.operators.decontaminate import with_words
 K1 = 1.2
 B = 0.75
 
+# last persist()ed tokenized tf table (see bm25_topk) — evicted next call
+_PERSISTED_BM25: DataFrame | None = None
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -85,6 +88,19 @@ def bm25_topk(
         for i, t in enumerate(terms)
     ]
     base = base.select(F.col(id_col), F.size(words).alias("_dl"), *tf_cols)
+    # r06 (guide §5): both the stats aggregation and the scoring pass read
+    # ``base`` — without a persist the tokenize+per-term-tf scan runs twice.
+    # The table is (id, k+1 ints) — ~100x smaller than content.  Single-slot
+    # eviction like dedup._PERSISTED_FEATURES so repeated bench runs don't
+    # accumulate cached copies.
+    global _PERSISTED_BM25
+    if _PERSISTED_BM25 is not None:
+        try:
+            _PERSISTED_BM25.unpersist(blocking=False)
+        except Exception:  # noqa: BLE001
+            pass
+    base = base.persist()
+    _PERSISTED_BM25 = base
 
     # pass 1: k+2 scalars out of a full scan (map-side partial agg)
     stats = base.agg(
