@@ -30,30 +30,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-_SPREAD_MULT = int(os.environ.get("SPARK_GRAFT_SPREAD_MULT", "4"))
-
-
 def _spread(df: DataFrame, mult: int = 0) -> DataFrame:
-    """Scan-parallelism guard (guide §2.5, "input skew: one huge
-    unsplittable file ... repartition immediately after the read").
+    """Scan-parallelism guard — see language_identification_spark.partitioning
+    (byte-gated so sub-MB small-sf scans are left alone; a no-op at
+    production partition counts)."""
+    from language_identification_spark.partitioning import spread_scan
 
-    The driver's sf tables are SINGLE-row-group parquet files, so a scan
-    yields 1-2 partitions regardless of scale factor and every row-local
-    operator downstream runs on 2 of N cores (measured: gopher_repetition
-    spent 76 s at sf1.0 with 30 cores idle).  When the scan has fewer
-    partitions than the session's parallelism, round-robin repartition to
-    ``mult × defaultParallelism``; when the input is already split finer
-    (the production case — many files / row groups), this is a no-op, so
-    the guard is scale-adaptive rather than a local[32] tune.  ``mult``
-    defaults to ``$SPARK_GRAFT_SPREAD_MULT`` (4): several waves of small
-    tasks amortize stragglers and Python-worker warm-up.
-    """
-    mult = mult or _SPREAD_MULT
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * mult
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    out, _ = spread_scan(df, mult=mult)
+    return out
 
 
 def _as_source_files(docs: DataFrame) -> DataFrame:

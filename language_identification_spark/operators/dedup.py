@@ -168,16 +168,13 @@ _PERSISTED_FEATURES: DataFrame | None = None
 
 
 def _spread_scan(df: DataFrame) -> tuple[DataFrame, bool]:
-    """(df, did_spread): spread an under-partitioned scan to 4×parallelism
-    for the feature-UDF pass (a single-row-group parquet file cannot split
-    below one task per row group, guide §2.5).  No-op — and the follow-up
-    feature compaction never fires — when the input is already at least
-    parallelism-wide, the production case."""
-    sc = df.sparkSession.sparkContext
-    cores = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(4 * cores), True
-    return df, False
+    """(df, did_spread): spread an under-partitioned, big-enough scan to
+    4×parallelism for the feature-UDF pass — byte-gated, see
+    language_identification_spark.partitioning.  The follow-up feature
+    compaction only fires when this did."""
+    from ..partitioning import spread_scan
+
+    return spread_scan(df)
 
 
 def _feat_parts(df: DataFrame) -> int:

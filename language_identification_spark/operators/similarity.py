@@ -234,7 +234,11 @@ def cosine_dup_pairs(
         F.col(id_col), F.col(vec_col), dup_band_udf(F.col(vec_col)).alias("bands")
     ).select(
         F.col(id_col),
-        F.col(vec_col),
+        # cast to double ONCE per row: the per-pair fold then multiplies
+        # doubles directly instead of casting both elements per pair
+        # (~10% on the verify stage; bit-identical — cast-then-multiply
+        # == multiply-of-casts)
+        F.col(vec_col).cast("array<double>").alias("_vd"),
         _norm_hof(F.col(vec_col)).alias("_nrm"),
         *[F.col("bands").getItem(j).alias(f"_b{j}") for j in range(_DUP_BANDS)],
     )
@@ -249,7 +253,7 @@ def cosine_dup_pairs(
     _PERSISTED_DUP_FEAT = feat
     keys = feat.select(
         F.col(id_col),
-        F.col(vec_col),
+        F.col("_vd"),
         F.col("_nrm"),
         *[F.col(f"_b{j}") for j in range(_DUP_BANDS)],
         F.posexplode(
@@ -280,7 +284,13 @@ def cosine_dup_pairs(
             t = t & (A(f"_b{j}") != B(f"_b{j}"))
         first = first | t
     cos = F.round(
-        _dot_hof(A(vec_col), B(vec_col)) / (A("_nrm") * B("_nrm")), 6
+        F.aggregate(
+            F.zip_with(A("_vd"), B("_vd"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (A("_nrm") * B("_nrm")),
+        6,
     )
     # the threshold goes INTO the join condition, AFTER the cheap integer
     # conjuncts: a trailing .filter() would be pushed into the condition by

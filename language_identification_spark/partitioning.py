@@ -1,0 +1,67 @@
+"""Scan-parallelism guards (r06, guide §2.5 / §6).
+
+The driver's sf tables are SINGLE-row-group parquet files, so a scan
+yields 1-2 partitions regardless of scale factor — ``maxPartitionBytes``
+and ``minPartitionNum`` cannot split below one row group, and every
+row-local operator downstream runs on 2 of N cores (measured:
+gopher_repetition spent 76 s at sf1.0 with 30 cores idle).
+
+``spread_scan`` repartitions such a scan to ``mult × defaultParallelism``
+— but ONLY when the input is big enough to amortize the exchange: at
+sf0.1 (~0.6 MB of documents) the round-robin shuffle plus 128 near-empty
+tasks cost MORE than the 2-task compute they replace (measured: vocab_topk
+0.34 s → 2.07 s, quantize 0.70 s → 2.47 s), while at sf1.0 the same
+queries win 2-50x.  The byte gate reads the scan's file sizes; inputs
+below ``SPARK_GRAFT_SPREAD_MIN_BYTES`` (default 3 MB compressed) are left
+alone.  At production partition counts the guard is a no-op either way,
+so none of this is a local[32] tune — it adapts to input size exactly as
+guide §2 prescribes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+
+SPREAD_MULT = int(os.environ.get("SPARK_GRAFT_SPREAD_MULT", "4"))
+SPREAD_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", str(3 * 1024 * 1024))
+)
+
+_FILE_URI = re.compile(r"^file:(//)?")
+
+
+def input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the scan's input files; None when unknown
+    (non-local files).  In-memory DataFrames report 0 (no files)."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001
+        return None
+    total = 0
+    for f in files:
+        p = _FILE_URI.sub("", f)
+        if "://" in p:
+            return None  # remote filesystem — size unknown cheaply
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def spread_scan(
+    df: DataFrame, mult: int = 0, min_bytes: int | None = None
+) -> tuple[DataFrame, bool]:
+    """(df, did_spread) — see module docstring."""
+    mult = mult or SPREAD_MULT
+    min_bytes = SPREAD_MIN_BYTES if min_bytes is None else min_bytes
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df, False  # already parallelism-wide — the production case
+    nbytes = input_bytes(df)
+    if nbytes is not None and nbytes < min_bytes:
+        return df, False  # too small for the exchange to pay for itself
+    return df.repartition(sc.defaultParallelism * mult), True
