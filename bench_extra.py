@@ -71,9 +71,6 @@ def main() -> None:
     spark = get_spark("bench-extra", cores=cpus)
 
     registry = {
-        "quality_filter_full": lambda: em._q_quality_filter_full(spark, SF_DIR)
-        if hasattr(em, "_q_quality_filter_full")
-        else None,
         "minhash_jaccard_pairs": lambda: em._q_minhash_pairs(spark, SF_DIR),
         "winnow_dup_pairs": lambda: em._q_winnow_pairs(spark, SF_DIR),
         "semantic_dedup": lambda: em._q_semantic_dedup(spark, SF_DIR),
