@@ -904,6 +904,14 @@ def simhash_dup_pairs(
     fingerprints; without this the fingerprint UDF would re-evaluate over
     the full content on BOTH join sides.
 
+    Cache-slot caveat (ADVICE r05): only the LATEST call's result keeps
+    the single-UDF-pass plan — each call evicts the previous call's
+    persisted signature table (the bench/runner discipline that stops
+    cached copies accumulating), so re-executing an EARLIER returned
+    DataFrame after a newer call silently recomputes fingerprints on both
+    join sides (slower, never wrong).  Long-lived multi-result sessions
+    should pass ``staging_path`` instead.
+
     ``max_bucket`` is the same dense-cluster skew guard as the MinHash LSH
     path (a bucket of c members yields c²/2 join rows); members of a capped
     bucket still pair up through their other, more selective chunks.

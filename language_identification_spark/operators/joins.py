@@ -54,6 +54,13 @@ def salted_join(
         raise ValueError(f"how={how!r}: salting preserves inner/left only")
     if salt_factor < 1:
         raise ValueError(f"salt_factor={salt_factor} must be >= 1")
+    if SALT_COL in facts.columns or SALT_COL in dim.columns:
+        # silently overwriting (and later dropping) a caller's column of
+        # the same name would corrupt output (ADVICE r05)
+        raise ValueError(
+            f"salted_join: input already carries a {SALT_COL!r} column — "
+            "rename it before joining"
+        )
     f = facts.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.col(salt_from)), F.lit(salt_factor))
     )

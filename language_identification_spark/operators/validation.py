@@ -49,6 +49,12 @@ def column_profile(
     total.  ``approx`` trades exact distinct counts for an HLL sketch.
     """
     names = cols if cols is not None else df.columns
+    if not names:
+        # F.array() over zero per-column structs yields array<null> and a
+        # downstream star-expand fails with an opaque AnalysisException
+        # (ADVICE r05) — fail fast with the actual problem instead
+        raise ValueError("column_profile: no columns to profile "
+                         "(empty cols list on a zero-column frame?)")
     n_distinct = (
         F.approx_count_distinct if approx else F.count_distinct
     )
@@ -88,6 +94,9 @@ def validate_expectations(
     one row per rule, exactly reproducible in any SQL engine as
     ``sum(CASE WHEN cond THEN 0 ELSE 1 END)``.
     """
+    if not rules:
+        # same array<null> star-expand failure as column_profile (ADVICE r05)
+        raise ValueError("validate_expectations: no rules given")
     aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
     for name, cond in rules.items():
         aggs.append(

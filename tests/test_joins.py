@@ -74,3 +74,14 @@ def test_plan_shuffles_on_key_and_salt(skewed):
     assert len(ex) >= 2, plan
     for l in ex:
         assert "key#" in l and "_salt#" in l, l
+
+
+def test_preexisting_salt_column_rejected(skewed):
+    # ADVICE r05: silently overwriting (then dropping) a caller's '_salt'
+    # column would corrupt output — must raise instead
+    facts, dim = skewed
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(
+            facts.withColumn("_salt", F.lit(1)), dim, "key",
+            salt_from="fact_id",
+        )

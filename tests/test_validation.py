@@ -108,3 +108,15 @@ def test_column_profile_plan_dedups_before_exchange(spark):
     for line in aplan.splitlines():
         if "Exchange" in line:
             assert "SinglePartition" in line, line
+
+
+def test_empty_args_raise_clearly(spark):
+    # ADVICE r05: F.array() over zero per-column structs yields array<null>
+    # and the star-expand fails with an opaque AnalysisException — both
+    # operators must fail fast with a ValueError naming the problem
+    import pytest
+
+    with pytest.raises(ValueError, match="no columns"):
+        column_profile(_df(spark), cols=[])
+    with pytest.raises(ValueError, match="no rules"):
+        validate_expectations(_df(spark), rules={})
